@@ -79,18 +79,80 @@ def update(data, codebook, nb_entries, verbose: bool = False):
     return new_cb
 
 
+def _kmeans_update_inline(data, codebook, n_active):
+    """Un-jitted body shared by the fused trainer (same math as
+    kmeans_update, but traceable inside an outer fori_loop)."""
+    e = codebook.shape[0]
+    idx = find_nearest(data, codebook, n_active)
+    counts = jnp.zeros((e,), jnp.float32).at[idx].add(1.0)
+    sums = jnp.zeros_like(codebook).at[idx].add(data)
+    new_cb = sums / (counts[:, None] + 1e-20)
+    live = (jnp.arange(e) < n_active)[:, None]
+    return jnp.where(live, new_cb, codebook), counts
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _lbg_fused(data, key, nb_entries: int, inner_updates: int,
+               final_updates: int):
+    """Whole grow-by-one LBG loop as ONE compiled program.
+
+    The reference's trainer (src/quantization/cb_func.py:28-54) runs
+    ~4*E k-means updates from a Python loop; over a tunneled TPU each
+    dispatch costs ~100ms, so we fuse the entire loop into a single
+    lax.fori_loop where split perturbations come from on-device PRNG
+    (same .001*U[0,1)/2 distribution, row-masked to the live prefix).
+    """
+    ndims = data.shape[1]
+    cb = jnp.zeros((nb_entries, ndims), jnp.float32)
+    cb = cb.at[0].set(jnp.mean(data, axis=0))
+    rows = jnp.arange(nb_entries)[:, None]
+
+    def grow_step(e, carry):
+        cb, key = carry
+        key, sub = jax.random.split(key)
+        # codebook[e] = codebook[0]; perturb rows < e.
+        cb = jnp.where(rows == e, cb[0][None, :], cb)
+        delta = 0.001 * (jax.random.uniform(sub, cb.shape) / 2.0)
+        cb = jnp.where(rows < e, cb + delta, cb)
+
+        def upd(_, c):
+            c, _cnt = _kmeans_update_inline(data, c, e + 1)
+            return c
+        cb = jax.lax.fori_loop(0, inner_updates, upd, cb)
+        return cb, key
+
+    cb, key = jax.lax.fori_loop(1, nb_entries, grow_step, (cb, key))
+
+    def final(_, c):
+        c, _cnt = _kmeans_update_inline(data, c, nb_entries)
+        return c
+    cb = jax.lax.fori_loop(0, final_updates, final, cb)
+    return cb
+
+
 def vq_train(data: jax.Array, nb_entries: int,
              rng: Optional[np.random.RandomState] = None,
              inner_updates: int = 4, final_updates: int = 10,
-             verbose: bool = False) -> jax.Array:
+             verbose: bool = False,
+             seed: int = 0, compat: bool = False) -> jax.Array:
     """Train one stage's codebook with the reference's grow-by-one LBG.
 
-    data: (N, D); returns (nb_entries, D).  `rng` supplies the
-    .001*U/2 split perturbations (seeded numpy for reproducibility and
-    parity with the reference's np.random.rand at cb_func.py:41).
+    data: (N, D); returns (nb_entries, D).
+
+    Two modes:
+    * fast (default): the entire loop is one fused on-device program;
+      split perturbations come from jax PRNG (`seed`).
+    * compat=True (or rng given): perturbations come from a seeded
+      numpy RandomState in the reference's exact draw order
+      (cb_func.py:41), enabling bit-reproduction of its codebooks;
+      runs one dispatch per update (slow over a tunneled device).
     """
-    rng = rng or np.random.RandomState(0)
     data = jnp.asarray(data, jnp.float32)
+    if not compat and rng is None:
+        return _lbg_fused(data, jax.random.PRNGKey(seed), int(nb_entries),
+                          inner_updates, final_updates)
+
+    rng = rng or np.random.RandomState(seed)
     ndims = data.shape[1]
     codebook = jnp.zeros((nb_entries, ndims), jnp.float32)
     codebook = codebook.at[0].set(jnp.mean(data, axis=0))
@@ -121,14 +183,17 @@ def quantize(codebook: jax.Array, data: jax.Array) -> jax.Array:
     return jnp.asarray(codebook)[idx]
 
 
-def train_multistage(data, n_entries, rng=None, verbose=False):
+def train_multistage(data, n_entries, rng=None, verbose=False, seed=0):
     """Train a chain of residual codebooks (reference train_cb.py:193-201
-    semantics: r <- quantize(cb, r) - r after each stage)."""
-    rng = rng or np.random.RandomState(0)
+    semantics: r <- quantize(cb, r) - r after each stage).
+
+    rng=None uses the fused on-device trainer; passing a numpy
+    RandomState selects the reference-compatible slow path.
+    """
     r = jnp.asarray(data, jnp.float32)
     books = []
-    for e in n_entries:
-        cb = vq_train(r, e, rng=rng, verbose=verbose)
+    for s, e in enumerate(n_entries):
+        cb = vq_train(r, e, rng=rng, verbose=verbose, seed=seed + s)
         books.append(cb)
         qr = quantize(cb, r)
         r = qr - r

@@ -115,3 +115,14 @@ def test_multistage_residual_chain():
     q1 = np.asarray(lbg.quantize(books[0], data))
     err1 = np.mean(np.sum((q1 - data) ** 2, -1))
     assert err < err1  # second stage helps
+
+
+def test_lbg_fused_fast_mode():
+    """The single-program trainer must reach compat-mode distortion."""
+    data = RNG.randn(3000, 17).astype(np.float32)
+    cb_fast = lbg.vq_train(data, 16, seed=0)
+    cb_slow = lbg.vq_train(data, 16, rng=np.random.RandomState(0))
+    def distortion(cb):
+        q = np.asarray(lbg.quantize(cb, data))
+        return np.mean(np.sum((q - data) ** 2, -1))
+    assert distortion(cb_fast) < 1.1 * distortion(cb_slow)
