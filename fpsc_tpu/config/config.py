@@ -1,0 +1,184 @@
+"""Typed configuration tree with dotted CLI overrides.
+
+Replaces the reference's sacred Experiment + flat cfg dict
+(reference: src/config.py:12-88) and its drifting inline dicts
+(train_frame.py:188-210, train_cb.py:54-96).  One dataclass tree, no
+hardcoded absolute paths; entries accept `section.key=value` overrides:
+
+    python -m fpsc_tpu.train.train_frame train.epochs=3 data.synthetic=true
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class DataConfig:
+    # Directory layout: <root>/{train,val}/*.f32 feature dumps plus
+    # optional matching *.wav / *.s16 audio.
+    root: str = "data"
+    synthetic: bool = True          # generate deterministic fixtures
+    synthetic_utterances: int = 32
+    chunks: int = 10                # 1 chunk = 15 frames = 2400 samples
+    batch_size: int = 100
+    normalize: bool = True
+    qtz_pitch: bool = False         # substitute quantised pitch columns
+    num_eval_batches: int = 2
+    seed: int = 0
+
+
+@dataclass
+class PredictorConfig:
+    in_features: int = 20
+    gru_units1: int = 384
+    gru_units2: int = 128
+    fc_units: int = 18
+    mask_units: int = 18
+
+
+@dataclass
+class CodecConfig:
+    l1: float = 0.09
+    l2: float = 0.28
+    # Above-threshold codebooks
+    scl_entries: int = 256
+    vq_entries: Tuple[int, ...] = (1024, 1024)
+    # Below-threshold codebooks (0/empty disables, like the reference's
+    # '' paths)
+    scl_entries_bl: int = 16
+    vq_entries_bl: Tuple[int, ...] = (512,)
+    code_dims: int = 17
+    survivors: int = 5
+    codebook_path: str = "codebooks/default.npz"
+
+
+@dataclass
+class WavenetConfig:
+    out_channels: int = 2
+    num_blocks: int = 2
+    num_layers: int = 10
+    inp_channels: int = 1
+    residual_channels: int = 128
+    gate_channels: int = 256
+    skip_channels: int = 128
+    kernel_size: int = 2
+    cin_channels: int = 20          # +64 pitch embedding appended
+    cout_channels: int = 128
+    front_kernel: int = 32
+    fat_upsampler: bool = True
+    local: bool = False
+    upsample_scales: Tuple[int, ...] = (10, 16)
+
+
+@dataclass
+class LPCNetConfig:
+    gru_a_units: int = 384
+    gru_b_units: int = 16
+    embed_dim: int = 128
+    cond_units: int = 128
+    frame_kernel: int = 3
+    levels: int = 256               # mu-law levels
+
+
+@dataclass
+class IAFConfig:
+    num_flows: int = 6
+    num_layers: int = 10
+    front_channels: int = 32
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    kernel_size: int = 3
+    cout_channels: int = 128
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 10
+    steps_per_epoch: int = 0        # 0 = full pass over the dataset
+    learning_rate: float = 1e-4
+    keep_rate: float = 0.3
+    warmup_batches: int = 10        # teacher-forced batches per epoch
+    scale_step: float = 5.0         # mask sharpness annealing
+    scale_max: float = 100.0
+    grad_clip: float = 10.0
+    debugging: bool = False         # single-batch smoke mode
+    save_dir: str = "runs"
+    transfer_model: Optional[str] = None
+    transfer_epoch: Optional[int] = None
+    upd_f_only: bool = False        # freeze vocoder core, tune frontend
+    seed: int = 0
+
+
+@dataclass
+class MeshConfig:
+    data_axis: int = 0              # 0 = use all devices on data axis
+    model_axis: int = 1
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    predictor: PredictorConfig = field(default_factory=PredictorConfig)
+    codec: CodecConfig = field(default_factory=CodecConfig)
+    wavenet: WavenetConfig = field(default_factory=WavenetConfig)
+    lpcnet: LPCNetConfig = field(default_factory=LPCNetConfig)
+    iaf: IAFConfig = field(default_factory=IAFConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    label: str = ""
+
+    def __post_init__(self):
+        if not self.label:
+            self.label = time.strftime("%m%d_%H%M%S")
+
+
+def _coerce(current, raw: str):
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        items = [s for s in raw.strip("()[] ").split(",") if s]
+        elem = current[0] if current else 1
+        return tuple(type(elem)(s) for s in items)
+    if current is None:
+        for cast in (int, float):
+            try:
+                return cast(raw)
+            except ValueError:
+                pass
+        return raw
+    return type(current)(raw)
+
+
+def apply_overrides(cfg: Config, argv: List[str]) -> Config:
+    """Apply `a.b=c` style overrides in place; returns cfg."""
+    for arg in argv:
+        if "=" not in arg:
+            raise ValueError(f"override must look like key=value: {arg!r}")
+        path, raw = arg.split("=", 1)
+        parts = path.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        key = parts[-1]
+        if not hasattr(obj, key):
+            raise KeyError(f"unknown config key: {path}")
+        setattr(obj, key, _coerce(getattr(obj, key), raw))
+    return cfg
+
+
+def parse_cli(argv: Optional[List[str]] = None) -> Config:
+    import sys
+    argv = sys.argv[1:] if argv is None else argv
+    return apply_overrides(Config(), argv)
+
+
+def asdict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,169 @@
+"""Host-side dataset: chunked utterances -> numpy batches.
+
+Capability parity with the reference Dataset classes (reference:
+src/datasets/dataset_orig.py:47-106, dataset.py:45-96): per item it
+yields (name, x (chunks*2400,), feat (chunks*15+4, 36),
+nm_feat = feat / 24.1), with
+
+* peak normalisation * 0.999,
+* tiling of short utterances,
+* random (train) / tail (val) chunk crops,
+* NaN / silent-crop redraw loop,
+* optional quantised-pitch column substitution.
+
+Sources: a directory of .f32 dumps + .wav/.s16 audio, or deterministic
+synthetic fixtures (data.synthetic) so every pipeline runs hermetically.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from fpsc_tpu.config.config import DataConfig
+from fpsc_tpu.data import f32 as f32mod
+from fpsc_tpu.dsp import constants as C
+
+
+@dataclass
+class Utterance:
+    name: str
+    waveform: np.ndarray   # (n_samples,) float32, peak-normalised
+    windows: np.ndarray    # (k, 19, 36) float32
+
+
+def _load_wav(path: str) -> np.ndarray:
+    import wave
+
+    with wave.open(path, "rb") as w:
+        assert w.getsampwidth() == 2, "expect 16-bit PCM"
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    return x
+
+
+def load_directory(root: str, split: str) -> List[Utterance]:
+    """Load `<root>/<split>/*.f32` (+ matching .wav/.s16/.raw pcm)."""
+    items = []
+    for fpath in sorted(glob.glob(os.path.join(root, split, "*.f32"))):
+        name = os.path.basename(fpath)[:-4]
+        frames = f32mod.read_f32(fpath)
+        windows = f32mod.window_features(frames)
+        wav = None
+        for ext, loader in ((".wav", _load_wav),
+                            (".s16", lambda p: np.fromfile(p, np.int16)
+                             .astype(np.float32) / 32768.0)):
+            cand = os.path.join(root, split, name + ext)
+            if os.path.exists(cand):
+                wav = loader(cand)
+                break
+        if wav is None:
+            wav = np.zeros(windows.shape[0] * C.SAMPLES_PER_CHUNK,
+                           np.float32)
+        wav = wav / max(np.abs(wav).max(), 1e-10) * 0.999
+        items.append(Utterance(name, wav.astype(np.float32), windows))
+    return items
+
+
+def make_synthetic(n: int, chunks_each: int = 12, seed: int = 0,
+                   split: str = "train") -> List[Utterance]:
+    from fpsc_tpu.data.synthetic import synth_utterance
+    base = seed * 100003 + (0 if split == "train" else 50021)
+    items = []
+    for i in range(n):
+        wav, windows = synth_utterance(base + i, chunks_each)
+        items.append(Utterance(f"syn-{split}-{i:04d}", wav, windows))
+    return items
+
+
+class Dataset:
+    """Chunk-cropping batch sampler over a list of utterances."""
+
+    def __init__(self, items: List[Utterance], chunks: int,
+                 task: str = "train", normalize: bool = True):
+        if not items:
+            raise ValueError("empty dataset")
+        self.items = items
+        self.chunks = chunks
+        self.task = task
+        self.normalize = normalize
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def _crop(self, utt: Utterance, rng: np.random.RandomState):
+        chunks = self.chunks
+        wav = utt.waveform
+        windows = utt.windows
+        nb = windows.shape[0]
+        # tile short utterances (reference dataset_orig.py:77-80)
+        while nb < chunks:
+            wav = np.concatenate([wav, wav])
+            windows = np.concatenate([windows, windows])
+            nb *= 2
+        if self.task == "train":
+            i = rng.randint(nb - chunks) if nb > chunks else 0
+        else:
+            i = nb - chunks if nb > chunks else 0
+        for _ in range(8):  # NaN / silence redraw guard
+            x = wav[i * C.SAMPLES_PER_CHUNK:(i + chunks)
+                    * C.SAMPLES_PER_CHUNK]
+            if x.shape[0] < chunks * C.SAMPLES_PER_CHUNK:
+                x = np.pad(x, (0, chunks * C.SAMPLES_PER_CHUNK - x.shape[0]))
+            feat = f32mod.flatten_windows(windows[i:i + chunks])
+            if np.abs(x).max() == 0 or np.isnan(feat).any():
+                i = rng.randint(nb - chunks) if (
+                    self.task == "train" and nb > chunks) else (i + 1) % nb
+            else:
+                break
+        return x, feat
+
+    def sample_batch(self, rng: np.random.RandomState,
+                     batch_size: int) -> Dict[str, np.ndarray]:
+        idx = rng.randint(len(self.items), size=batch_size)
+        return self.gather(idx, rng)
+
+    def gather(self, idx, rng: np.random.RandomState):
+        xs, feats, names = [], [], []
+        for i in idx:
+            utt = self.items[int(i)]
+            x, feat = self._crop(utt, rng)
+            xs.append(x)
+            feats.append(feat)
+            names.append(utt.name)
+        x = np.stack(xs)                        # (B, chunks*2400)
+        feat = np.stack(feats)                  # (B, chunks*15+4, 36)
+        return {"name": names, "x": x, "feat": feat,
+                "nm_feat": feat / C.MAXI}
+
+    def iter_batches(self, batch_size: int, seed: int,
+                     drop_remainder: bool = True
+                     ) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(seed)
+        order = rng.permutation(len(self.items))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            yield self.gather(order[s:s + batch_size], rng)
+
+
+def build_dataset(cfg: DataConfig, task: str = "train") -> Dataset:
+    if cfg.synthetic:
+        n = cfg.synthetic_utterances if task == "train" else max(
+            2, cfg.synthetic_utterances // 4)
+        items = make_synthetic(n, chunks_each=max(cfg.chunks, 12),
+                               seed=cfg.seed, split=task)
+    else:
+        items = load_directory(cfg.root, task)
+    return Dataset(items, cfg.chunks, task, cfg.normalize)
+
+
+def predictor_inputs(batch: Dict[str, np.ndarray],
+                     normalize: bool = True) -> np.ndarray:
+    """Batch -> (B, chunks*15, 20) normalised predictor features
+    (drop the 2+2 context rows and the 16 LPC columns, reference
+    train_frame.py:68)."""
+    key = "nm_feat" if normalize else "feat"
+    return batch[key][:, C.CONTEXT_FRAMES:-C.CONTEXT_FRAMES,
+                      :C.NB_USED_FEATURES].astype(np.float32)

@@ -1,0 +1,99 @@
+"""Feature-extraction frontend (the in-framework `dump_data`).
+
+The reference repo depends on xiph/LPCNet's native C feature extractor
+for its .f32 inputs (reference: data_preprocess/write_small_files.py:
+18-24 documents the layout; src/ceps2lpc/* hand-ports its synthesis
+half).  This module is the analysis half, built so the pair
+(extract -> ceps2lpc) is self-consistent:
+
+* 20 ms Vorbis-windowed rfft at 10 ms hop,
+* triangular Bark band energies via the same EBAND5MS geometry,
+* log10 -> DCT-II -> 18 cepstra with the -4 c0 offset that
+  ceps2lpc adds back,
+* normalised-autocorrelation pitch (period in samples, correlation),
+  encoded as f18 = (period - 100) / 50 so that the reference's
+  period recovery `int(.1 + 50*f + 100)` (src/train.py:123) is exact,
+* 16 LPC from the cepstra via fpsc_tpu.dsp.ceps2lpc (same path the
+  codec uses at decode time).
+
+A bit-parity C++ implementation of the same math lives in cpp/ for
+host-side streaming use; tests/test_frontend.py checks the two agree.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.dsp import constants as C
+from fpsc_tpu.dsp.ceps2lpc import ceps2lpc, dct
+
+PITCH_MIN = 32     # 500 Hz
+PITCH_MAX = 256    # 62.5 Hz
+PITCH_CONTEXT = 320  # lookback samples for the correlation search
+
+
+def vorbis_window(n: int = C.WINDOW_SIZE) -> np.ndarray:
+    t = (np.arange(n) + 0.5) / n
+    return np.sin(0.5 * np.pi * np.sin(np.pi * t) ** 2).astype(np.float32)
+
+
+_WINDOW = vorbis_window()
+
+
+@jax.jit
+def frames_to_cepstra(frames: jax.Array) -> jax.Array:
+    """(N, 320) signal frames -> (N, 18) Bark cepstra (c0 pre-offset
+    by -4, matching what ceps2lpc expects to add back)."""
+    w = frames * jnp.asarray(_WINDOW)
+    spec = jnp.fft.rfft(w, axis=-1)
+    power = (spec.real ** 2 + spec.imag ** 2) / C.WINDOW_SIZE
+    band_e = jnp.matmul(power, jnp.asarray(C.BAND_MATRIX))
+    log_e = jnp.log10(band_e + 1e-7)
+    ceps = dct(log_e)
+    return ceps.at[:, 0].add(-4.0)
+
+
+def frame_signal(x: np.ndarray) -> np.ndarray:
+    """Slice x into (n_frames, 320) windows at 160-sample hop; frame t
+    covers samples [t*160, t*160 + 320) (zero-padded at the tail)."""
+    n_frames = max(0, len(x) // C.FRAME_SIZE - 1)
+    idx = np.arange(C.WINDOW_SIZE)[None, :] + (
+        np.arange(n_frames)[:, None] * C.FRAME_SIZE)
+    return np.asarray(x, np.float32)[idx]
+
+
+def estimate_pitch(x: np.ndarray, n_frames: int) -> np.ndarray:
+    """(n_frames, 2) [period_feature, corr_feature] via normalised
+    autocorrelation over [PITCH_MIN, PITCH_MAX] lags."""
+    pad = np.concatenate([np.zeros(PITCH_MAX, np.float32),
+                          np.asarray(x, np.float32)])
+    out = np.zeros((n_frames, 2), np.float32)
+    win = C.WINDOW_SIZE
+    for t in range(n_frames):
+        base = PITCH_MAX + t * C.FRAME_SIZE
+        seg = pad[base: base + win]
+        e0 = float(np.dot(seg, seg)) + 1e-9
+        best_corr, best_lag = 0.0, PITCH_MAX
+        for lag in range(PITCH_MIN, PITCH_MAX + 1, 2):
+            ref = pad[base - lag: base - lag + win]
+            num = float(np.dot(seg, ref))
+            den = np.sqrt(e0 * (float(np.dot(ref, ref)) + 1e-9))
+            corr = num / den
+            if corr > best_corr:
+                best_corr, best_lag = corr, lag
+        out[t, 0] = (best_lag - 100.0) / 50.0
+        out[t, 1] = best_corr - 0.5
+    return out
+
+
+def extract_features_np(x: np.ndarray) -> np.ndarray:
+    """Waveform -> (n_frames, 36) feature rows
+    [ceps(18) | period | corr | lpc(16)]."""
+    frames = frame_signal(x)
+    ceps = np.asarray(frames_to_cepstra(jnp.asarray(frames)))
+    pitch = estimate_pitch(x, frames.shape[0])
+    _, lpc, _ = ceps2lpc(jnp.asarray(ceps))
+    return np.concatenate([ceps, pitch, np.asarray(lpc)],
+                          axis=1).astype(np.float32)

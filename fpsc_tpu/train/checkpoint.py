@@ -1,0 +1,89 @@
+"""Checkpointing + run logging.
+
+Improves on the reference's epoch .pth dumps (reference:
+src/utils.py:127-157, which saves model state only - resume restarts
+Adam from scratch): here a checkpoint stores params + optimizer state
++ step as one pickled numpy pytree.  The per-epoch results text file
+keeps the reference's line format for parity tooling.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save(path: str, params: Any, opt_state: Any = None, step: int = 0,
+         extra: Optional[dict] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"params": _to_numpy(params),
+               "opt_state": _to_numpy(opt_state) if opt_state is not None
+               else None,
+               "step": int(step), "extra": extra or {}}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load(path: str):
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return payload
+
+
+def checkpoint_path(save_dir: str, label: str, epoch) -> str:
+    return os.path.join(save_dir, label, f"{label}_{epoch}.ckpt")
+
+
+def log_epoch(save_dir: str, label: str, epoch: int, duration: float,
+              train_loss: float, valid_loss: float,
+              debugging: bool = False) -> str:
+    """Append the reference-format results line (utils.py:138)."""
+    record = ("Epoch: {} | time: {:.2f} | train_loss: {:.4f} | "
+              "valid_loss: {:.4f} \n").format(epoch, duration,
+                                              train_loss, valid_loss)
+    print(record, end="")
+    if not debugging:
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, label + ".txt"), "a+") as f:
+            f.write(record)
+    return record
+
+
+def save_codebooks(path: str, codebooks) -> None:
+    """Persist a Codebooks pytree as .npz (interchangeable arrays)."""
+    from fpsc_tpu.models.frame_predictor import Codebooks
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {"scl": np.asarray(codebooks.scl)}
+    for i, cb in enumerate(codebooks.vq):
+        arrays[f"vq_{i}"] = np.asarray(cb)
+    if codebooks.scl_bl is not None:
+        arrays["scl_bl"] = np.asarray(codebooks.scl_bl)
+    if codebooks.vq_bl is not None:
+        for i, cb in enumerate(codebooks.vq_bl):
+            arrays[f"vq_bl_{i}"] = np.asarray(cb)
+    np.savez(path, **arrays)
+
+
+def load_codebooks(path: str):
+    import jax.numpy as jnp
+    from fpsc_tpu.models.frame_predictor import Codebooks
+    z = np.load(path)
+    vq = tuple(jnp.asarray(z[k]) for k in sorted(z.files)
+               if k.startswith("vq_") and not k.startswith("vq_bl_"))
+    vq_bl = tuple(jnp.asarray(z[k]) for k in sorted(z.files)
+                  if k.startswith("vq_bl_"))
+    return Codebooks(
+        scl=jnp.asarray(z["scl"]),
+        vq=vq,
+        scl_bl=jnp.asarray(z["scl_bl"]) if "scl_bl" in z.files else None,
+        vq_bl=vq_bl if vq_bl else None,
+    )

@@ -1,0 +1,125 @@
+"""Data layer, frontend, and minimum end-to-end training slice."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.config.config import Config, apply_overrides
+from fpsc_tpu.data import f32 as f32mod
+from fpsc_tpu.data.dataset import build_dataset, predictor_inputs
+from fpsc_tpu.dsp import constants as C
+
+
+def test_window_flatten_repack_roundtrip():
+    rng = np.random.RandomState(0)
+    frames = rng.randn(15 * 6 + 4, 36).astype(np.float32)
+    windows = f32mod.window_features(frames)
+    assert windows.shape == (6, 19, 36)
+    # window i starts at frame 15*i
+    np.testing.assert_array_equal(windows[2, 0], frames[30])
+    flat = f32mod.flatten_windows(windows)
+    assert flat.shape == (6 * 15 + 4, 36)
+    np.testing.assert_array_equal(flat, frames)
+    repacked = f32mod.repack_windows(flat, 6)
+    np.testing.assert_array_equal(repacked, windows)
+
+
+def test_f32_io_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    frames = rng.randn(50, 36).astype(np.float32)
+    p = str(tmp_path / "utt.f32")
+    f32mod.write_f32(p, frames)
+    np.testing.assert_array_equal(f32mod.read_f32(p), frames)
+
+
+def test_frontend_features_shape_and_pitch_recovery():
+    from fpsc_tpu.dsp.frontend import extract_features_np
+    from fpsc_tpu.data.synthetic import synth_waveform
+    x = synth_waveform(np.random.RandomState(3), 16000)
+    feats = extract_features_np(x)
+    assert feats.shape[1] == 36
+    assert np.isfinite(feats).all()
+    # pitch feature must recover an integer period in [32, 256] via the
+    # reference formula int(.1 + 50*f + 100)
+    periods = (0.1 + 50 * feats[:, 18] + 100).astype(np.int32)
+    assert periods.min() >= 32 and periods.max() <= 256
+    # f0 of the synthetic source is 60..180 Hz -> period 88..266; most
+    # voiced frames should land in that band
+    voiced = feats[:, 19] > 0.2
+    assert voiced.mean() > 0.5
+    assert np.median(periods[voiced]) > 60
+
+
+def test_frontend_cepstra_invert_through_ceps2lpc():
+    """LPC from our cepstra must actually whiten the synthetic signal:
+    prediction residual energy well below signal energy."""
+    from fpsc_tpu.dsp.frontend import extract_features_np
+    from fpsc_tpu.data.synthetic import synth_waveform
+    from fpsc_tpu.dsp.lpc import lpc_pred
+    x = synth_waveform(np.random.RandomState(5), 16000)
+    feats = extract_features_np(x)
+    n = feats.shape[0] - 1
+    xs = x[: n * 160][None]
+    lpc = feats[:n, 20:][None]
+    pred = np.asarray(lpc_pred(jnp.asarray(xs), jnp.asarray(lpc)))
+    exc = xs - np.roll(pred, 1, -1)
+    gain = np.sum(xs[0, 320:] ** 2) / max(np.sum(exc[0, 320:] ** 2), 1e-9)
+    assert gain > 3.0, f"LPC prediction gain too low: {gain}"
+
+
+def test_synthetic_dataset_batches():
+    cfg = Config()
+    apply_overrides(cfg, ["data.synthetic=true",
+                          "data.synthetic_utterances=4",
+                          "data.chunks=3", "data.batch_size=2"])
+    ds = build_dataset(cfg.data, "train")
+    batch = next(ds.iter_batches(2, seed=0))
+    assert batch["x"].shape == (2, 3 * 2400)
+    assert batch["feat"].shape == (2, 3 * 15 + 4, 36)
+    np.testing.assert_allclose(batch["nm_feat"], batch["feat"] / 24.1)
+    inp = predictor_inputs(batch)
+    assert inp.shape == (2, 45, 20)
+    # determinism
+    batch2 = next(build_dataset(cfg.data, "train").iter_batches(2, seed=0))
+    np.testing.assert_array_equal(batch["x"], batch2["x"])
+
+
+def test_train_frame_slice(tmp_path):
+    """Minimum end-to-end slice: synthetic data -> warmup + mask-phase
+    training steps under the device mesh -> loss decreases."""
+    from fpsc_tpu.train import train_frame as tf
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.synthetic=true", "data.synthetic_utterances=6",
+        "data.chunks=2", "data.batch_size=3",
+        "predictor.gru_units1=32", "predictor.gru_units2=16",
+        "train.epochs=2", "train.warmup_batches=0",
+        f"train.save_dir={tmp_path}",
+    ])
+    params, min_loss = tf.run(cfg)
+    assert np.isfinite(min_loss)
+    # checkpoint written and loadable
+    from fpsc_tpu.train import checkpoint as ckpt
+    payload = ckpt.load(ckpt.checkpoint_path(str(tmp_path), cfg.label, 1))
+    assert payload["step"] == 1
+
+    # training reduces the warmup loss on a fixed batch
+    ds = build_dataset(cfg.data, "train")
+    feat = jnp.asarray(predictor_inputs(next(ds.iter_batches(3, seed=9))))
+    fresh = tf.build_model(cfg, jax.random.PRNGKey(cfg.train.seed))
+    assert float(tf.warmup_loss(params, feat)) < float(
+        tf.warmup_loss(fresh, feat))
+
+
+def test_config_overrides():
+    cfg = Config()
+    apply_overrides(cfg, ["train.learning_rate=0.01", "data.chunks=5",
+                          "codec.vq_entries=64,32",
+                          "train.debugging=true"])
+    assert cfg.train.learning_rate == 0.01
+    assert cfg.data.chunks == 5
+    assert cfg.codec.vq_entries == (64, 32)
+    assert cfg.train.debugging is True
+    with pytest.raises(KeyError):
+        apply_overrides(cfg, ["train.nope=1"])
