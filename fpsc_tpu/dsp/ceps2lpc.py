@@ -28,18 +28,21 @@ from fpsc_tpu.dsp import constants as C
 def idct(x: jax.Array) -> jax.Array:
     """Inverse DCT over the last axis. x: (..., 18) -> (..., 18)."""
     table = jnp.asarray(C.DCT_TABLE)
-    return jnp.matmul(x, table.T) * C.IDCT_SCALE
+    return jnp.matmul(x, table.T,
+                      precision=jax.lax.Precision.HIGHEST) * C.IDCT_SCALE
 
 
 def dct(x: jax.Array) -> jax.Array:
     """Forward DCT over the last axis (inverse of `idct`)."""
     table = jnp.asarray(C.DCT_FWD_TABLE)
-    return jnp.matmul(x, table) * C.IDCT_SCALE
+    return jnp.matmul(x, table,
+                      precision=jax.lax.Precision.HIGHEST) * C.IDCT_SCALE
 
 
 def interp_band_gain(band_e: jax.Array) -> jax.Array:
     """Linear interpolation of 18 band gains to 161 spectrum bins."""
-    return jnp.matmul(band_e, jnp.asarray(C.INTERP_MATRIX))
+    return jnp.matmul(band_e, jnp.asarray(C.INTERP_MATRIX),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def levinson(ac: jax.Array, order: int = C.LPC_ORDER):
@@ -66,7 +69,8 @@ def levinson(ac: jax.Array, order: int = C.LPC_ORDER):
         else:
             # sum_{j<i} lpc[:, j] * ac[:, i-j]
             rr = jnp.einsum(
-                "nj,nj->n", lpc[:, :i], ac[:, 1:i + 1][:, ::-1]
+                "nj,nj->n", lpc[:, :i], ac[:, 1:i + 1][:, ::-1],
+                precision=jax.lax.Precision.HIGHEST,
             ) + ac[:, i + 1]
         safe_error = jnp.where(error == 0.0, 1.0, error)
         r = -rr / safe_error

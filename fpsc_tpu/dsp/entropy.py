@@ -21,5 +21,8 @@ def histogram_entropy(x, bins: int = 128, value_range=(0.0, 1.0)) -> float:
 def usage_entropy_bits(counts) -> float:
     """Empirical entropy (bits) of a codebook usage histogram."""
     counts = np.asarray(counts, dtype=np.float64)
-    p = counts / np.sum(counts)
+    total = np.sum(counts)
+    if total == 0:
+        return 0.0
+    p = counts / total
     return float(np.sum(-p * np.log2(p + 1e-20)))

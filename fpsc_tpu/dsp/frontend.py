@@ -49,7 +49,8 @@ def frames_to_cepstra(frames: jax.Array) -> jax.Array:
     w = frames * jnp.asarray(_WINDOW)
     spec = jnp.fft.rfft(w, axis=-1)
     power = (spec.real ** 2 + spec.imag ** 2) / C.WINDOW_SIZE
-    band_e = jnp.matmul(power, jnp.asarray(C.BAND_MATRIX))
+    band_e = jnp.matmul(power, jnp.asarray(C.BAND_MATRIX),
+                        precision=jax.lax.Precision.HIGHEST)
     log_e = jnp.log10(band_e + 1e-7)
     ceps = dct(log_e)
     return ceps.at[:, 0].add(-4.0)

@@ -1,0 +1,308 @@
+"""LPCNet-class vocoder: frame conditioning net + sample-rate dual GRU.
+
+The reference pipeline's actual vocoder is xiph/LPCNet's external
+TF2/Keras + C implementation (reference README.md:13-15,30-47; feature
+files are produced for it by synthesis_qtz.py:149-166).  This module is
+the in-framework TPU-native equivalent, sized per the paper's setup
+(GRU_A 384, GRU_B 16, 256-level mu-law excitation):
+
+* frame net: [feat(20) | period-embedding(64)] -> conv1d(k=3) x2 tanh
+  -> dense x2 tanh -> 128-d conditioning per frame,
+* sample net: mu-law embeddings of (prev signal, prev excitation,
+  current LPC prediction) + conditioning -> GRU_A(384) -> GRU_B(16)
+  -> dual FC -> 256-way softmax over the mu-law excitation,
+* training is teacher-forced: every per-sample input comes from ground
+  truth, so the whole sequence runs as two GRU scans with all matmuls
+  batched (B*T, .) on the MXU,
+* sampling is a lax.scan over 16 kHz steps carrying (h_a, h_b, last
+  sample, last excitation, 16-sample LPC history), batched over
+  utterances; weights stay resident in VMEM across the scan.  The
+  probability shaping (pitch-correlation sharpening, constant tail
+  cut) follows the reference's sample_mu_prob (src/train.py:79-92).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.dsp import constants as C
+from fpsc_tpu.dsp.mulaw import l2u_index, u2l
+from fpsc_tpu.models.common import (DenseParams, EmbeddingParams, dense,
+                                    embedding, init_dense, init_embedding)
+from fpsc_tpu.models.gru import GRUParams, gru_scan, gru_step, init_gru
+
+
+@dataclass(frozen=True)
+class LPCNetConfig:
+    feat_dim: int = 20
+    period_embed: int = 64
+    cond_units: int = 128
+    embed_dim: int = 128
+    gru_a_units: int = 384
+    gru_b_units: int = 16
+    levels: int = 256
+    frame_kernel: int = 3
+
+
+class LPCNetParams(NamedTuple):
+    period_emb: EmbeddingParams      # (512, 64)
+    conv1: jax.Array                 # (k, in, cond)
+    conv1_b: jax.Array
+    conv2: jax.Array
+    conv2_b: jax.Array
+    fdense1: DenseParams
+    fdense2: DenseParams
+    sample_emb: EmbeddingParams      # shared mu-law embedding (256, 128)
+    gru_a: GRUParams
+    gru_b: GRUParams
+    fc1: DenseParams                 # dual FC branch 1 (levels, gru_b)
+    fc2: DenseParams                 # dual FC branch 2
+
+
+def init_lpcnet(key: jax.Array, cfg: LPCNetConfig = LPCNetConfig()
+                ) -> LPCNetParams:
+    ks = jax.random.split(key, 12)
+    in_dim = cfg.feat_dim + cfg.period_embed
+    k = cfg.frame_kernel
+    scale1 = 1.0 / jnp.sqrt(jnp.asarray(in_dim * k, jnp.float32))
+    scale2 = 1.0 / jnp.sqrt(jnp.asarray(cfg.cond_units * k, jnp.float32))
+    gru_a_in = 3 * cfg.embed_dim + cfg.cond_units
+    return LPCNetParams(
+        period_emb=init_embedding(ks[0], 512, cfg.period_embed),
+        conv1=jax.random.uniform(ks[1], (k, in_dim, cfg.cond_units),
+                                 jnp.float32, -scale1, scale1),
+        conv1_b=jnp.zeros((cfg.cond_units,)),
+        conv2=jax.random.uniform(ks[2], (k, cfg.cond_units, cfg.cond_units),
+                                 jnp.float32, -scale2, scale2),
+        conv2_b=jnp.zeros((cfg.cond_units,)),
+        fdense1=init_dense(ks[3], cfg.cond_units, cfg.cond_units),
+        fdense2=init_dense(ks[4], cfg.cond_units, cfg.cond_units),
+        sample_emb=init_embedding(ks[5], cfg.levels, cfg.embed_dim),
+        gru_a=init_gru(ks[6], gru_a_in, cfg.gru_a_units),
+        gru_b=init_gru(ks[7], cfg.gru_a_units + cfg.cond_units,
+                       cfg.gru_b_units),
+        fc1=init_dense(ks[8], cfg.gru_b_units, cfg.levels),
+        fc2=init_dense(ks[9], cfg.gru_b_units, cfg.levels),
+    )
+
+
+def frame_net(params: LPCNetParams, feat: jax.Array,
+              periods: jax.Array) -> jax.Array:
+    """(B, L, 20) features + (B, L) int periods -> (B, L, 128) cond."""
+    emb = embedding(params.period_emb, jnp.clip(periods, 0, 511))
+    x = jnp.concatenate([feat, emb], axis=-1)
+    x = jnp.tanh(jax.lax.conv_general_dilated(
+        x, params.conv1, window_strides=(1,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32) + params.conv1_b)
+    x = jnp.tanh(jax.lax.conv_general_dilated(
+        x, params.conv2, window_strides=(1,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32) + params.conv2_b)
+    x = jnp.tanh(dense(params.fdense1, x))
+    x = jnp.tanh(dense(params.fdense2, x))
+    return x
+
+
+def _logits(params: LPCNetParams, hb: jax.Array) -> jax.Array:
+    """Dual FC head: sum of two tanh branches (capacity boost over the
+    16-unit GRU_B bottleneck)."""
+    return jnp.tanh(dense(params.fc1, hb)) + jnp.tanh(dense(params.fc2, hb))
+
+
+def sample_inputs(params: LPCNetParams, x: jax.Array, exc: jax.Array,
+                  pred: jax.Array, cond_up: jax.Array) -> jax.Array:
+    """Teacher-forced per-sample GRU_A inputs.
+
+    x, exc, pred: (B, T) linear-scale (16-bit range); cond_up: (B, T,
+    cond).  Input at t uses x[t-1], exc[t-1], pred[t] (the network
+    predicts the excitation that, added to pred[t], yields x[t]).
+    """
+    prev_x = jnp.roll(x, 1, axis=-1).at[:, 0].set(0.0)
+    prev_e = jnp.roll(exc, 1, axis=-1).at[:, 0].set(0.0)
+    # waveforms live in [-1, 1]; mu-law operates on the 16-bit range
+    e_x = embedding(params.sample_emb, l2u_index(prev_x * 32768.0))
+    e_e = embedding(params.sample_emb, l2u_index(prev_e * 32768.0))
+    e_p = embedding(params.sample_emb, l2u_index(pred * 32768.0))
+    return jnp.concatenate([e_x, e_e, e_p, cond_up], axis=-1)
+
+
+def forward(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
+            x: jax.Array, exc: jax.Array, pred: jax.Array) -> jax.Array:
+    """Teacher-forced logits (B, T, 256) over mu-law excitation."""
+    cond = frame_net(params, feat, periods)
+    cond_up = jnp.repeat(cond, C.FRAME_SIZE, axis=1)
+    inp = sample_inputs(params, x, exc, pred, cond_up)
+    ya, _ = gru_scan(params.gru_a, inp)
+    yb, _ = gru_scan(params.gru_b,
+                     jnp.concatenate([ya, cond_up], axis=-1))
+    return _logits(params, yb)
+
+
+def loss_fn(params: LPCNetParams, feat, periods, x, lpc) -> jax.Array:
+    """Cross-entropy on next-sample mu-law excitation (teacher forced)."""
+    from fpsc_tpu.dsp.lpc import lpc_pred
+    pred = lpc_pred(x, lpc)
+    exc = x - jnp.roll(pred, 1, axis=-1).at[:, 0].set(0.0)
+    logits = forward(params, feat, periods, x, exc, pred)
+    # target: excitation at t given inputs up to t (16-bit mu-law code)
+    target = l2u_index(exc * 32768.0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+# --------------------------------------------------------------------------
+# Autoregressive synthesis
+# --------------------------------------------------------------------------
+
+def shape_probs(probs: jax.Array, corr: jax.Array,
+                tail_cut: float = 0.002) -> jax.Array:
+    """LPCNet sampling tricks (reference src/train.py:79-92):
+    sharpen by pitch correlation, cut the constant tail, renormalise."""
+    gamma = jnp.maximum(0.0, 1.5 * corr - 0.5)[..., None]
+    p = probs * jnp.power(probs, gamma)
+    p = p / (1e-18 + jnp.sum(p, -1, keepdims=True))
+    p = jnp.maximum(p - tail_cut, 0.0)
+    return p / (1e-8 + jnp.sum(p, -1, keepdims=True))
+
+
+def shape_logits(logits: jax.Array, corr: jax.Array,
+                 tail_cut: float = 0.002) -> jax.Array:
+    """Equivalent of shape_probs starting from logits: the p * p^gamma
+    sharpening is exactly a softmax temperature (1 + gamma), which
+    avoids the per-step pow over the 256 levels."""
+    gamma = jnp.maximum(0.0, 1.5 * corr - 0.5)[..., None]
+    p = jax.nn.softmax(logits * (1.0 + gamma), axis=-1)
+    p = jnp.maximum(p - tail_cut, 0.0)
+    return p / (1e-8 + jnp.sum(p, -1, keepdims=True))
+
+
+def _categorical(key: jax.Array, probs: jax.Array) -> jax.Array:
+    """Inverse-CDF sampling from probabilities (B, 256) -> (B,)."""
+    cdf = jnp.cumsum(probs, axis=-1)
+    u = jax.random.uniform(key, probs.shape[:-1] + (1,))
+    return jnp.sum((cdf < u).astype(jnp.int32), axis=-1)
+
+
+def generate(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
+             lpc: jax.Array, key: jax.Array,
+             corr: Optional[jax.Array] = None,
+             deemphasis: float = 0.85,
+             unroll: int = 8) -> jax.Array:
+    """Batched autoregressive synthesis.
+
+    feat: (B, L, 20); periods: (B, L) int; lpc: (B, L, 16) per-frame
+    coefficients; returns (B, L*160) waveform (after de-emphasis).
+
+    One lax.scan over T = L*160 steps; carry = (h_a, h_b, x_hist(16),
+    prev_exc, prev_out).  Speed-of-light design notes:
+
+    * the GRU_A *input* matmul is eliminated entirely: the mu-law
+      embedding contributions are precomputed as 256-row tables of
+      embedding @ W_input products (per-step cost becomes three 1152-d
+      row gathers + adds), and the frame-conditioning contribution is
+      computed at FRAME rate (L matmuls, not T) and gathered by frame
+      index inside the scan - only the (B, H) @ (H, 3H) recurrent
+      matmuls remain per step,
+    * same split for GRU_B's input (h_a term per step, cond term per
+      frame),
+    * frame-rate streams are indexed with dynamic_index_in_dim instead
+      of materialising (T, B, .) upsampled arrays,
+    * `unroll` amortises scan loop overhead.
+    """
+    b, length, _ = feat.shape
+    t_total = length * C.FRAME_SIZE
+    cond = frame_net(params, feat, periods)               # (B, L, 128)
+    corr = feat[..., 19] if corr is None else corr
+
+    emb = params.sample_emb.table                         # (256, E)
+    e_dim = emb.shape[1]
+    wi_a = params.gru_a.wi                                # (3H, 512)
+    # Precomputed input-projection tables: one row per mu-law level.
+    tab_x = jnp.matmul(emb, wi_a[:, :e_dim].T,
+                       preferred_element_type=jnp.float32)
+    tab_e = jnp.matmul(emb, wi_a[:, e_dim:2 * e_dim].T,
+                       preferred_element_type=jnp.float32)
+    tab_p = jnp.matmul(emb, wi_a[:, 2 * e_dim:3 * e_dim].T,
+                       preferred_element_type=jnp.float32)
+    # Frame-rate conditioning contributions (folding the biases in).
+    cond_a = jnp.matmul(cond, wi_a[:, 3 * e_dim:].T,
+                        preferred_element_type=jnp.float32) + params.gru_a.bi
+    wi_b = params.gru_b.wi                                # (3Hb, Ha+cond)
+    ha_units = params.gru_a.units
+    wi_b_h = wi_b[:, :ha_units]
+    cond_b = jnp.matmul(cond, wi_b[:, ha_units:].T,
+                        preferred_element_type=jnp.float32) + params.gru_b.bi
+
+    h_a = jnp.zeros((b, params.gru_a.units), jnp.float32)
+    h_b = jnp.zeros((b, params.gru_b.units), jnp.float32)
+    x_hist = jnp.zeros((b, C.LPC_ORDER), jnp.float32)     # newest last
+    prev_e = jnp.zeros((b,), jnp.float32)
+    prev_y = jnp.zeros((b,), jnp.float32)
+
+    lpc_rev = lpc[..., ::-1]  # so sum(x_hist * lpc_rev) = sum a_k x[t-k]
+    # All randomness precomputed: one uniform per emitted sample (the
+    # per-step threefry chain would dominate the scan otherwise).
+    uniforms = jax.random.uniform(key, (length, C.FRAME_SIZE, b, 1))
+    # mu-law decode as a 256-entry lookup (replaces exp per step)
+    u2l_table = u2l(jnp.arange(256)) / 32768.0
+
+    # Fold the three embedding tables into one so each step issues one
+    # (3B,) gather instead of three op chains.
+    tab_all = jnp.concatenate([tab_x, tab_e, tab_p], axis=0)  # (768, 3H)
+    offsets = jnp.asarray([0, 256, 512], jnp.int32)[:, None]
+
+    from fpsc_tpu.models.gru import _gates
+
+    # Outer scan over frames (frame-constant streams hoisted), inner
+    # scan over the 160 samples of the frame.
+    frame_xs = {
+        "cond_a": jnp.swapaxes(cond_a, 0, 1),   # (L, B, 3Ha)
+        "cond_b": jnp.swapaxes(cond_b, 0, 1),   # (L, B, 3Hb)
+        "lpc": jnp.swapaxes(lpc_rev, 0, 1),     # (L, B, 16)
+        "corr": jnp.swapaxes(corr, 0, 1),       # (L, B)
+        "u": uniforms,                          # (L, 160, B, 1)
+    }
+
+    def frame_step(carry, fx):
+        gamma = jnp.maximum(0.0, 1.5 * fx["corr"] - 0.5)[:, None]
+        temp = 1.0 + gamma
+
+        def sample_step(carry, u):
+            h_a, h_b, x_hist, prev_e, prev_y = carry
+            pred = -jnp.sum(x_hist * fx["lpc"], axis=-1)
+            idx = l2u_index(
+                jnp.stack([x_hist[:, -1], prev_e, pred]) * 32768.0)
+            gathered = tab_all[idx + offsets]        # (3, B, 3Ha)
+            pre_a = (gathered[0] + gathered[1] + gathered[2]
+                     + fx["cond_a"])
+            h_a = _gates(pre_a, h_a, params.gru_a.wh, params.gru_a.bh)
+            pre_b = jnp.dot(h_a, wi_b_h.T,
+                            preferred_element_type=jnp.float32) + \
+                fx["cond_b"]
+            h_b = _gates(pre_b, h_b, params.gru_b.wh, params.gru_b.bh)
+            logits = _logits(params, h_b)
+            p = jax.nn.softmax(logits * temp, axis=-1)
+            p = jnp.maximum(p - 0.002, 0.0)
+            cdf = jnp.cumsum(p, axis=-1)
+            thresh = u * cdf[:, -1:]                 # renorm via scaled u
+            e_idx = jnp.sum((cdf < thresh).astype(jnp.int32), axis=-1)
+            e_lin = u2l_table[e_idx]
+            sample = pred + e_lin
+            x_hist = jnp.concatenate([x_hist[:, 1:], sample[:, None]],
+                                     axis=1)
+            y = sample + deemphasis * prev_y
+            return (h_a, h_b, x_hist, e_lin, y), y
+
+        carry, ys = jax.lax.scan(sample_step, carry, fx["u"],
+                                 unroll=unroll)
+        return carry, ys
+
+    _, ys = jax.lax.scan(
+        frame_step, (h_a, h_b, x_hist, prev_e, prev_y), frame_xs)
+    # ys: (L, 160, B) -> (B, T)
+    return jnp.transpose(ys.reshape(t_total, b), (1, 0))

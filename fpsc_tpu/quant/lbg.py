@@ -27,11 +27,18 @@ import numpy as np
 
 
 def pairwise_sq_dist(data: jax.Array, codebook: jax.Array) -> jax.Array:
-    """(N, D), (E, D) -> (N, E) squared distances via the MXU expansion."""
+    """(N, D), (E, D) -> (N, E) squared distances via the MXU expansion.
+
+    precision=HIGHEST is load-bearing: the LBG split perturbations are
+    ~1e-4 on O(1) values, far below the bf16 mantissa of the TPU's
+    default float32 matmul passes - with default precision all split
+    entries alias and the codebook collapses to one live entry.
+    """
     x2 = jnp.sum(data * data, axis=1, keepdims=True)          # (N, 1)
     c2 = jnp.sum(codebook * codebook, axis=1)[None, :]        # (1, E)
     xc = jnp.matmul(data, codebook.T,
-                    preferred_element_type=jnp.float32)        # (N, E)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)       # (N, E)
     return x2 - 2.0 * xc + c2
 
 

@@ -1,0 +1,105 @@
+"""Offline codec encode: dump quantised feature files + rate report.
+
+Capability parity with reference src/generate_qtz_features.py: run the
+closed-loop encoder with real quantisers over the training set, write
+per-utterance (n_chunks, 19, 36) coded-feature arrays (LPC recomputed
+from CODED cepstra), accumulate codebook usage and print per-codebook
+bit entropies (cal_entropy, :94-101,202).  Additionally packs a real
+bitstream per utterance and reports the measured bitrate.
+
+Run:  python -m fpsc_tpu.train.generate_qtz_features data.synthetic=true \
+          codec.codebook_path=codebooks/default.npz
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpsc_tpu.codec import bitstream as bs
+from fpsc_tpu.codec.codec import coded_feature_windows, encode
+from fpsc_tpu.config.config import Config, parse_cli
+from fpsc_tpu.data.dataset import build_dataset, predictor_inputs
+from fpsc_tpu.dsp.entropy import usage_entropy_bits
+from fpsc_tpu.train import checkpoint as ckpt
+from fpsc_tpu.train.train_frame import build_model
+
+
+def codebook_sizes(codebooks) -> dict:
+    return {
+        "scl": int(codebooks.scl.shape[0]),
+        "scl_bl": int(codebooks.scl_bl.shape[0])
+        if codebooks.scl_bl is not None else 0,
+        "vq": [int(cb.shape[0]) for cb in codebooks.vq],
+        "vq_bl": [int(cb.shape[0]) for cb in codebooks.vq_bl]
+        if codebooks.vq_bl is not None else [],
+    }
+
+
+def run(cfg: Config, max_utterances: int = 1000,
+        out_dir: Optional[str] = None):
+    params = build_model(cfg, jax.random.PRNGKey(cfg.train.seed))
+    if cfg.train.transfer_model:
+        payload = ckpt.load(ckpt.checkpoint_path(
+            cfg.train.save_dir, cfg.train.transfer_model,
+            cfg.train.transfer_epoch))
+        params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params),
+            [jnp.asarray(x) for x in
+             jax.tree_util.tree_leaves(payload["params"])])
+    codebooks = ckpt.load_codebooks(cfg.codec.codebook_path)
+    sizes = codebook_sizes(codebooks)
+
+    out_dir = out_dir or os.path.join(cfg.train.save_dir,
+                                      f"qtz_features_{cfg.label}")
+    os.makedirs(os.path.join(out_dir, "train"), exist_ok=True)
+
+    ds = build_dataset(cfg.data, "train")
+    totals = None
+    mse_sum, mse_n = 0.0, 0
+    bits_total, frames_total = 0, 0
+    done = 0
+
+    for batch in ds.iter_batches(min(cfg.data.batch_size, len(ds)),
+                                 seed=0):
+        feat = jnp.asarray(predictor_inputs(batch, cfg.data.normalize))
+        enc = encode(params, codebooks, feat,
+                     l1=cfg.codec.l1, l2=cfg.codec.l2)
+        windows = coded_feature_windows(enc["coded"])
+        coded = np.asarray(enc["coded"])
+        orig = np.asarray(feat)
+        mse_sum += float(np.mean((coded[..., :18] - orig[..., :18]) ** 2))
+        mse_n += 1
+
+        counts = [np.asarray(c) for c in enc["counts"]]
+        totals = counts if totals is None else [
+            a + b for a, b in zip(totals, counts)]
+
+        for i, name in enumerate(batch["name"]):
+            np.save(os.path.join(out_dir, "train", f"{name}.npy"),
+                    windows[i])
+            packed = bs.pack_utterance(
+                np.asarray(enc["ind1"])[i], np.asarray(enc["ind2"])[i],
+                {k: np.asarray(v)[i] for k, v in enc["indices"].items()},
+                orig[i, :, 18:], sizes)
+            bits_total += len(packed) * 8
+            frames_total += orig.shape[1]
+            done += 1
+        if cfg.train.debugging or done >= max_utterances:
+            break
+
+    entropies = [round(usage_entropy_bits(c), 3) for c in totals]
+    bitrate = bits_total / frames_total * 100.0
+    print(f"coded {done} utterances -> {out_dir}")
+    print(f"codebook usage entropies (bits): {entropies}")
+    print(f"coded-feature MSE (normalised): {mse_sum / mse_n:.6f}")
+    print(f"measured bitrate: {bitrate:.1f} b/s")
+    return {"entropies": entropies, "bitrate": bitrate,
+            "mse": mse_sum / mse_n, "out_dir": out_dir}
+
+
+if __name__ == "__main__":
+    run(parse_cli())

@@ -1,0 +1,172 @@
+"""LPCNet vocoder training (clean + coded-feature finetune).
+
+Capability parity with the reference pipeline's external vocoder
+training (reference README.md:30-40: training_tf2/train_lpcnet.py, and
+its `--quantize` finetune on coded features; the in-repo analogue is
+src/train.py with Libri_lpc_data_retrain + upd_f_only):
+
+* teacher-forced cross-entropy on mu-law excitation, grad-clip 10,
+* `train.upd_f_only=true` freezes the sample-rate network and tunes
+  only the frame conditioning net (the reference's upd_f_only /
+  --quantize pattern) - used when finetuning on coded features,
+* `data_dir=<generate_qtz output>` trains on coded feature windows
+  (the dataset_retrain path).
+
+Run:  python -m fpsc_tpu.train.train_lpcnet data.synthetic=true \
+          train.epochs=2 train.debugging=true
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fpsc_tpu.config.config import Config, parse_cli
+from fpsc_tpu.data.dataset import Dataset, build_dataset
+from fpsc_tpu.dsp import constants as C
+from fpsc_tpu.models import lpcnet
+from fpsc_tpu.parallel import mesh as meshlib
+from fpsc_tpu.train import checkpoint as ckpt
+
+
+def vocoder_inputs(batch: Dict, normalize: bool = True) -> Dict:
+    """Batch -> arrays for the vocoder: feat (B, L, 20) normalised,
+    periods (B, L) int32 via the reference formula (src/train.py:123),
+    lpc (B, L, 16) un-normalised, x (B, L*160) waveform."""
+    feat = batch["feat"][:, C.CONTEXT_FRAMES:-C.CONTEXT_FRAMES, :]
+    nm = feat / C.MAXI if normalize else feat
+    periods = (0.1 + 50.0 * feat[..., 18] + 100.0).astype(np.int32)
+    return {
+        "feat": nm[..., :C.NB_USED_FEATURES].astype(np.float32),
+        "periods": periods,
+        "lpc": feat[..., -C.LPC_ORDER:].astype(np.float32),
+        "x": batch["x"].astype(np.float32),
+    }
+
+
+def coded_dataset(coded_dir: str, base: Dataset) -> Dataset:
+    """Dataset over CODED feature windows (from generate_qtz_features)
+    paired with the original waveforms - the reference's
+    Libri_lpc_data_retrain path (dataset_retrain.py:44-67), used for
+    the --quantize-style vocoder finetune."""
+    from fpsc_tpu.data.dataset import Utterance
+    items = []
+    for utt in base.items:
+        path = os.path.join(coded_dir, "train", f"{utt.name}.npy")
+        if not os.path.exists(path):
+            continue
+        windows = np.load(path).astype(np.float32)
+        n = windows.shape[0]
+        items.append(Utterance(
+            utt.name,
+            utt.waveform[: n * C.SAMPLES_PER_CHUNK],
+            windows))
+    return Dataset(items, base.chunks, base.task, base.normalize)
+
+
+def make_step(tx):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, feat, periods, x, lpc):
+        loss, grads = jax.value_and_grad(lpcnet.loss_fn)(
+            params, feat, periods, x, lpc)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_step(params, feat, periods, x, lpc):
+        return lpcnet.loss_fn(params, feat, periods, x, lpc)
+
+    return train_step, eval_step
+
+
+def build_optimizer(cfg: Config, params):
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adam(cfg.train.learning_rate),
+    )
+    if cfg.train.upd_f_only:
+        # freeze the sample-rate net; tune only the frame/conditioning
+        # net (reference train.py:259-265 / LPCNet --quantize pattern)
+        frame_fields = {"period_emb", "conv1", "conv1_b", "conv2",
+                        "conv2_b", "fdense1", "fdense2"}
+        labels = lpcnet.LPCNetParams(*[
+            jax.tree_util.tree_map(
+                lambda _: "train" if name in frame_fields else "freeze",
+                sub)
+            for name, sub in zip(lpcnet.LPCNetParams._fields, params)])
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx
+
+
+def run(cfg: Config, data_dir: Optional[str] = None
+        ) -> Tuple[lpcnet.LPCNetParams, float]:
+    mesh = meshlib.make_mesh()
+    mcfg = lpcnet.LPCNetConfig(
+        gru_a_units=cfg.lpcnet.gru_a_units,
+        gru_b_units=cfg.lpcnet.gru_b_units,
+        embed_dim=cfg.lpcnet.embed_dim,
+        cond_units=cfg.lpcnet.cond_units,
+        levels=cfg.lpcnet.levels,
+        frame_kernel=cfg.lpcnet.frame_kernel,
+    )
+    params = lpcnet.init_lpcnet(jax.random.PRNGKey(cfg.train.seed), mcfg)
+
+    if cfg.train.transfer_model:
+        payload = ckpt.load(ckpt.checkpoint_path(
+            cfg.train.save_dir, cfg.train.transfer_model,
+            cfg.train.transfer_epoch))
+        params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params),
+            [jnp.asarray(v) for v in
+             jax.tree_util.tree_leaves(payload["params"])])
+        print("loaded transfer vocoder checkpoint")
+
+    tx = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    params = meshlib.replicate(mesh, params)
+
+    train_ds = build_dataset(cfg.data, "train")
+    if data_dir:
+        train_ds = coded_dataset(data_dir, train_ds)
+        print(f"finetuning on coded features from {data_dir} "
+              f"({len(train_ds)} utterances)")
+    train_step, eval_step = make_step(tx)
+
+    label = cfg.label + "_s"
+    min_loss = float("inf")
+    for epoch in range(cfg.train.epochs):
+        t0 = time.time()
+        total, n = 0.0, 0
+        for batch in train_ds.iter_batches(cfg.data.batch_size,
+                                           seed=cfg.train.seed + epoch):
+            arrs = vocoder_inputs(batch, cfg.data.normalize)
+            arrs = meshlib.shard_batch(mesh, arrs)
+            params, opt_state, loss = train_step(
+                params, opt_state, arrs["feat"], arrs["periods"],
+                arrs["x"], arrs["lpc"])
+            total += float(loss)
+            n += 1
+            if cfg.train.debugging or (
+                    cfg.train.steps_per_epoch
+                    and n >= cfg.train.steps_per_epoch):
+                break
+        duration = time.time() - t0
+        ckpt.log_epoch(cfg.train.save_dir, label, epoch, duration,
+                       total / max(n, 1), 0.0, cfg.train.debugging)
+        if not cfg.train.debugging:
+            ckpt.save(ckpt.checkpoint_path(cfg.train.save_dir, label,
+                                           epoch),
+                      params, opt_state, step=epoch)
+        min_loss = min(min_loss, total / max(n, 1))
+    return params, min_loss
+
+
+if __name__ == "__main__":
+    run(parse_cli())

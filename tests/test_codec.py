@@ -1,0 +1,141 @@
+"""Codec-level tests: encode/decode inversion, bitstream round-trip,
+codebook training entry, offline encode entry."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.codec import bitstream as bs
+from fpsc_tpu.codec.codec import coded_feature_windows, decode, encode
+from fpsc_tpu.config.config import Config, apply_overrides
+from fpsc_tpu.models import frame_predictor as fp
+
+RNG = np.random.RandomState(21)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = fp.FramePredictorConfig(gru_units1=32, gru_units2=16)
+    params = fp.init_frame_predictor(jax.random.PRNGKey(3), cfg)
+    r = np.random.RandomState(5)
+    cbs = fp.Codebooks(
+        scl=jnp.asarray(np.sort(r.randn(16)).astype(np.float32) * 0.1),
+        vq=(jnp.asarray(r.randn(32, 17).astype(np.float32) * 0.1),
+            jnp.asarray(r.randn(16, 17).astype(np.float32) * 0.03)),
+        scl_bl=jnp.asarray(np.sort(r.randn(4)).astype(np.float32) * 0.02),
+        vq_bl=(jnp.asarray(r.randn(8, 17).astype(np.float32) * 0.02),),
+    )
+    feat = (RNG.randn(2, 19, 20) * 0.3).astype(np.float32)
+    return params, cbs, feat
+
+
+def test_encode_decode_inverts(setup):
+    params, cbs, feat = setup
+    enc = encode(params, cbs, jnp.asarray(feat))
+    dec = decode(params, cbs, enc["ind1"], enc["ind2"], enc["indices"],
+                 jnp.asarray(feat[..., 18:]))
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(enc["coded"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bitstream_roundtrip(setup):
+    params, cbs, feat = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    enc = encode(params, cbs, jnp.asarray(feat))
+    for i in range(feat.shape[0]):
+        packed = bs.pack_utterance(
+            np.asarray(enc["ind1"])[i], np.asarray(enc["ind2"])[i],
+            {k: np.asarray(v)[i] for k, v in enc["indices"].items()},
+            feat[i, :, 18:], sizes)
+        got = bs.unpack_utterance(packed, sizes)
+        np.testing.assert_array_equal(got["ind1"],
+                                      np.asarray(enc["ind1"])[i])
+        np.testing.assert_array_equal(got["ind2"],
+                                      np.asarray(enc["ind2"])[i])
+        # transmitted indices match wherever the stream was live
+        for key in ("scl", "vq"):
+            want = np.asarray(enc["indices"][key])[i]
+            mask = want >= 0
+            np.testing.assert_array_equal(got["indices"][key][mask],
+                                          want[mask])
+
+
+def test_decode_from_unpacked_bitstream_only(setup):
+    """Full transmit chain: encode -> pack -> unpack -> decode must
+    reproduce the encoder's coded track (pitch via its 8+3-bit codes)."""
+    params, cbs, feat = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    enc = encode(params, cbs, jnp.asarray(feat))
+    i = 0
+    packed = bs.pack_utterance(
+        np.asarray(enc["ind1"])[i], np.asarray(enc["ind2"])[i],
+        {k: np.asarray(v)[i] for k, v in enc["indices"].items()},
+        feat[i, :, 18:], sizes)
+    got = bs.unpack_utterance(packed, sizes)
+    dec = decode(params, cbs,
+                 jnp.asarray(got["ind1"][None]),
+                 jnp.asarray(got["ind2"][None]),
+                 {k: jnp.asarray(v[None]) for k, v in
+                  got["indices"].items()},
+                 jnp.asarray(got["pitch"][None]))
+    # ceps channels identical up to encoder pitch-vs-coded-pitch feedback
+    # differences; with synthetic pitch features inside the quantiser
+    # range the decode matches closely.
+    np.testing.assert_allclose(np.asarray(dec)[0, :, :18],
+                               np.asarray(enc["coded"])[i, :, :18],
+                               rtol=1e-2, atol=5e-3)
+
+
+def test_pitch_code_roundtrip():
+    pitch = np.stack([np.linspace(-1.3, 3.7, 50),
+                      np.linspace(-0.5, 0.5, 50)], 1).astype(np.float32)
+    codes = bs.quantize_pitch(pitch)
+    back = bs.dequantize_pitch(codes)
+    periods = (0.1 + 50 * pitch[:, 0] + 100).astype(np.int32)
+    periods_back = (0.1 + 50 * back[:, 0] + 100).astype(np.int32)
+    np.testing.assert_array_equal(np.clip(periods, 32, 287), periods_back)
+
+
+def test_coded_feature_windows(setup):
+    params, cbs, feat = setup
+    enc = encode(params, cbs, jnp.asarray(feat[:, :15, :]))
+    wins = coded_feature_windows(enc["coded"])
+    assert wins[0].shape == (1, 19, 36)
+    # LPC columns recomputed and finite
+    assert np.isfinite(wins[0][..., 20:]).all()
+    # ceps columns = coded * MAXI
+    # inner 15 rows of the padded window == all 15 coded frames
+    np.testing.assert_allclose(
+        wins[0][0, 2:-2, :18],
+        np.asarray(enc["coded"])[0, :, :18] * 24.1, rtol=1e-5)
+
+
+def test_train_cb_and_generate_entries(tmp_path):
+    """Pipeline: train_cb -> codebooks.npz -> generate_qtz_features."""
+    from fpsc_tpu.train import train_cb, generate_qtz_features as gqf
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.synthetic=true", "data.synthetic_utterances=4",
+        "data.chunks=2", "data.batch_size=4",
+        "predictor.gru_units1=32", "predictor.gru_units2=16",
+        "codec.vq_entries=16,8", "codec.vq_entries_bl=8",
+        "codec.scl_entries=8", "codec.scl_entries_bl=4",
+        f"codec.codebook_path={tmp_path}/cb.npz",
+        "train.debugging=true", f"train.save_dir={tmp_path}",
+    ])
+    books = train_cb.run(cfg)
+    assert books.vq[0].shape == (16, 17)
+    assert books.scl.shape == (8,)
+
+    report = gqf.run(cfg, max_utterances=4,
+                     out_dir=str(tmp_path / "qtz"))
+    assert report["bitrate"] > 0
+    assert np.isfinite(report["mse"])
+    import glob
+    files = glob.glob(str(tmp_path / "qtz" / "train" / "*.npy"))
+    assert len(files) == 4
+    w = np.load(files[0])
+    assert w.shape[1:] == (19, 36)

@@ -1,0 +1,176 @@
+"""LPCNet vocoder tests: teacher-forced training, AR scan parity."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.dsp import constants as C
+from fpsc_tpu.dsp.mulaw import l2u_index, u2l
+from fpsc_tpu.models import lpcnet
+from fpsc_tpu.models.gru import gru_step
+
+RNG = np.random.RandomState(31)
+
+CFG = lpcnet.LPCNetConfig(gru_a_units=48, gru_b_units=8, embed_dim=16,
+                          cond_units=24)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return lpcnet.init_lpcnet(jax.random.PRNGKey(0), CFG)
+
+
+def _fake_batch(b=2, frames=3):
+    t = frames * C.FRAME_SIZE
+    feat = (RNG.randn(b, frames, 20) * 0.3).astype(np.float32)
+    periods = RNG.randint(32, 256, (b, frames)).astype(np.int32)
+    x = (RNG.randn(b, t) * 0.1).astype(np.float32)
+    lpc = (RNG.randn(b, frames, 16) * 0.05).astype(np.float32)
+    return feat, periods, x, lpc
+
+
+def test_forward_shapes_and_loss(model):
+    feat, periods, x, lpc = _fake_batch()
+    loss = lpcnet.loss_fn(model, jnp.asarray(feat), jnp.asarray(periods),
+                          jnp.asarray(x), jnp.asarray(lpc))
+    assert np.isfinite(float(loss))
+    # untrained CE should be near log(256)
+    assert abs(float(loss) - np.log(256)) < 1.5
+
+
+def test_training_reduces_loss(model):
+    import optax
+    feat, periods, x, lpc = _fake_batch()
+    args = tuple(jnp.asarray(a) for a in (feat, periods, x, lpc))
+    tx = optax.adam(1e-3)
+    params = model
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(lpcnet.loss_fn)(p, *args)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, l = step(params, opt_state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] - 0.3
+
+
+def test_generate_scan_matches_python_loop(model):
+    """The fused sampling scan must equal a step-by-step Python loop
+    (same PRNG stream): validates carries, LPC history indexing,
+    embeddings, and de-emphasis."""
+    feat, periods, x, lpc = _fake_batch(b=2, frames=2)
+    key = jax.random.PRNGKey(7)
+    got = np.asarray(lpcnet.generate(
+        model, jnp.asarray(feat), jnp.asarray(periods), jnp.asarray(lpc),
+        key))
+
+    # python re-implementation
+    b = 2
+    t_total = 2 * C.FRAME_SIZE
+    cond = np.asarray(lpcnet.frame_net(model, jnp.asarray(feat),
+                                       jnp.asarray(periods)))
+    cond_up = np.repeat(cond, C.FRAME_SIZE, axis=1)
+    lpc_up = np.repeat(lpc, C.FRAME_SIZE, axis=1)
+    corr_up = np.repeat(feat[..., 19], C.FRAME_SIZE, axis=1)
+    uniforms = np.asarray(jax.random.uniform(
+        key, (2, C.FRAME_SIZE, b, 1))).reshape(t_total, b, 1)
+
+    h_a = jnp.zeros((b, CFG.gru_a_units))
+    h_b = jnp.zeros((b, CFG.gru_b_units))
+    hist = np.zeros((b, 16), np.float32)
+    prev_e = np.zeros(b, np.float32)
+    prev_y = np.zeros(b, np.float32)
+    emb = np.asarray(model.sample_emb.table)
+    out = np.zeros((b, t_total), np.float32)
+    for t in range(t_total):
+        pred = -np.sum(hist * lpc_up[:, t, ::-1], axis=-1)
+        e_x = emb[np.asarray(l2u_index(jnp.asarray(
+            hist[:, -1] * 32768.0)))]
+        e_e = emb[np.asarray(l2u_index(jnp.asarray(prev_e * 32768.0)))]
+        e_p = emb[np.asarray(l2u_index(jnp.asarray(pred * 32768.0)))]
+        inp = jnp.asarray(
+            np.concatenate([e_x, e_e, e_p, cond_up[:, t]], -1))
+        h_a = gru_step(model.gru_a, h_a, inp)
+        h_b = gru_step(model.gru_b, h_b,
+                       jnp.concatenate([h_a, cond_up[:, t]], -1))
+        logits = np.asarray(lpcnet._logits(model, h_b))
+        gamma = np.maximum(0.0, 1.5 * corr_up[:, t] - 0.5)[:, None]
+        p = np.asarray(jax.nn.softmax(
+            jnp.asarray(logits * (1.0 + gamma)), -1))
+        p = np.maximum(p - 0.002, 0.0)
+        cdf = np.cumsum(p, -1)
+        thresh = uniforms[t] * cdf[:, -1:]
+        e_idx = (cdf < thresh).sum(-1)
+        e_lin = np.asarray(u2l(jnp.asarray(e_idx))) / 32768.0
+        sample = pred + e_lin
+        hist = np.concatenate([hist[:, 1:], sample[:, None]], 1)
+        y = sample + 0.85 * prev_y
+        out[:, t] = y
+        prev_e = e_lin.astype(np.float32)
+        prev_y = y.astype(np.float32)
+    np.testing.assert_allclose(got, out, rtol=1e-4, atol=1e-5)
+
+
+def test_generate_output_sane(model):
+    feat, periods, x, lpc = _fake_batch(b=3, frames=2)
+    y = np.asarray(lpcnet.generate(
+        model, jnp.asarray(feat), jnp.asarray(periods), jnp.asarray(lpc),
+        jax.random.PRNGKey(0)))
+    assert y.shape == (3, 2 * C.FRAME_SIZE)
+    assert np.isfinite(y).all()
+
+
+def test_shape_probs_properties():
+    probs = jax.nn.softmax(jnp.asarray(RNG.randn(4, 256)), -1)
+    shaped = lpcnet.shape_probs(probs, jnp.asarray([0.0, 0.3, 0.6, 1.0]))
+    s = np.asarray(shaped)
+    np.testing.assert_allclose(s.sum(-1), 1.0, rtol=1e-5)
+    # high correlation sharpens the distribution (lower entropy)
+    def ent(p):
+        return float(-(p * np.log(p + 1e-12)).sum())
+    assert ent(s[3]) < ent(s[0])
+
+
+def test_train_lpcnet_entry(tmp_path):
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.train import train_lpcnet as tl
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.synthetic=true", "data.synthetic_utterances=2",
+        "data.chunks=1", "data.batch_size=2",
+        "lpcnet.gru_a_units=32", "lpcnet.gru_b_units=8",
+        "lpcnet.embed_dim=16", "lpcnet.cond_units=16",
+        "train.epochs=1", "train.debugging=true",
+        f"train.save_dir={tmp_path}",
+    ])
+    params, loss = tl.run(cfg)
+    assert np.isfinite(loss)
+
+
+def test_upd_f_only_freezes_sample_net(tmp_path):
+    """With upd_f_only the sample-rate net must not move."""
+    import optax
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.train import train_lpcnet as tl
+    cfg = Config()
+    apply_overrides(cfg, ["train.upd_f_only=true"])
+    params = lpcnet.init_lpcnet(jax.random.PRNGKey(0), CFG)
+    tx = tl.build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    feat, periods, x, lpc = _fake_batch()
+    loss, grads = jax.value_and_grad(lpcnet.loss_fn)(
+        params, jnp.asarray(feat), jnp.asarray(periods), jnp.asarray(x),
+        jnp.asarray(lpc))
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    # frozen: gru_a unchanged; trained: conv1 changed
+    np.testing.assert_array_equal(np.asarray(new_params.gru_a.wi),
+                                  np.asarray(params.gru_a.wi))
+    assert not np.array_equal(np.asarray(new_params.conv1),
+                              np.asarray(params.conv1))
