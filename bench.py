@@ -25,6 +25,8 @@ def main():
     frames = 100  # 1 s of audio per utterance
     seconds = frames * C.FRAME_SIZE / C.SAMPLE_RATE
 
+    from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
+
     cfg = lpcnet.LPCNetConfig()  # production sizes: GRU_A 384, GRU_B 16
     params = lpcnet.init_lpcnet(jax.random.PRNGKey(0), cfg)
 
@@ -35,17 +37,17 @@ def main():
     lpc = jnp.asarray(
         rng.randn(batch, frames, 16).astype(np.float32) * 0.05)
 
-    gen = jax.jit(lpcnet.generate)
+    gen = jax.jit(pallas_generate)
     key = jax.random.PRNGKey(1)
 
-    # compile + warm up
-    jax.block_until_ready(gen(params, feat, periods, lpc, key))
-    # timed runs
+    # compile + warm up.  NOTE: timing forces a host transfer
+    # (np.asarray); on the axon-tunneled backend block_until_ready
+    # returns before device work completes.
+    np.asarray(gen(params, feat, periods, lpc, key))
     times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(gen(params, feat, periods, lpc,
-                                  jax.random.PRNGKey(i)))
+        np.asarray(gen(params, feat, periods, lpc, jax.random.PRNGKey(i)))
         times.append(time.perf_counter() - t0)
     wall = min(times)
     rtf = batch * seconds / wall

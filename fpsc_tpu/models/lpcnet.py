@@ -247,7 +247,11 @@ def generate(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
     lpc_rev = lpc[..., ::-1]  # so sum(x_hist * lpc_rev) = sum a_k x[t-k]
     # All randomness precomputed: one uniform per emitted sample (the
     # per-step threefry chain would dominate the scan otherwise).
-    uniforms = jax.random.uniform(key, (length, C.FRAME_SIZE, b, 1))
+    # Canonical layout (L, B, 160) is shared with the Pallas sampler so
+    # both backends consume the identical random stream.
+    uniforms = jnp.transpose(
+        jax.random.uniform(key, (length, b, C.FRAME_SIZE)),
+        (0, 2, 1))[..., None]
     # mu-law decode as a 256-entry lookup (replaces exp per step)
     u2l_table = u2l(jnp.arange(256)) / 32768.0
 

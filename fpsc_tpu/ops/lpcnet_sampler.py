@@ -1,0 +1,286 @@
+"""Fused Pallas TPU kernel for LPCNet autoregressive sampling.
+
+Why: the XLA lax.scan sampler spends ~23 us/step because the ~35 ops of
+the sample loop each pay HBM round-trips / fixed op overhead; the MXU
+work is only ~2 us.  This kernel fuses the ENTIRE sample step so all
+state and weights stay in VMEM.
+
+Layout: everything is FEATURE-MAJOR - batch lives on the 128-wide lane
+dimension (B=128 fills exactly one lane tile), features on sublanes.
+Consequences:
+
+* per-sample scalars are (1, B) rows that broadcast along sublanes for
+  free,
+* all dynamic time indexing (uniform draws, output writes) happens on
+  the sublane dimension, which Mosaic allows (lane indexing must be
+  128-aligned),
+* GRU matmuls are W (3H, H) @ h (H, B) with every dimension a multiple
+  of 128 (for the production GRU_A 384/1152),
+* the three mu-law embedding contributions are ONE (3H, 768) @ one-hot
+  (768, B) MXU matmul against precomputed embedding x input-weight
+  tables (TPU has no vector gather),
+* the sampling CDF is a lower-triangular (256, 256) @ p (256, B)
+  matmul (exact, f32),
+* mu-law decode is a one-hot reduction against a 256-entry column.
+
+Grid = one step per 10 ms frame (sequential); frame-rate inputs
+(conditioning contributions, LPC, sharpening temperature, uniforms)
+stream in per-frame via BlockSpecs; GRU states / LPC history persist
+across frames in VMEM scratch.  Matmuls run in bf16 with f32
+accumulation by default (dtype switchable to f32 for parity tests).
+
+Functional contract matches fpsc_tpu.models.lpcnet.generate (same
+uniforms -> same samples, modulo matmul precision).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fpsc_tpu.dsp import constants as C
+from fpsc_tpu.dsp.mulaw import u2l
+
+_LOG256 = float(np.log(256.0))
+_MU_SCALE = 255.0 / 32768.0
+
+
+def _l2u_rows(v):
+    """mu-law index of linear [-1, 1) samples; (1, B) -> (1, B) f32."""
+    x = v * 32768.0
+    s = jnp.sign(x)
+    u = s * (128.0 * jnp.log1p(_MU_SCALE * jnp.abs(x)) / _LOG256)
+    return jnp.clip(jnp.round(128.0 + u), 0.0, 255.0)
+
+
+def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
+            tab_ref, wh_a_ref, bh_a_ref, wi_b_ref,
+            wh_b_ref, bh_b_ref,
+            fc1_ref, fc1b_ref, tri_ref, ones_ref,
+            u2l_ref, out_ref,
+            h_a_s, h_b_s, hist_s,
+            *, ha: int, hb: int, levels: int, deemph: float,
+            u2l_base: float, acc_dtype):
+    f = pl.program_id(0)
+    b = h_a_s.shape[1]
+
+    @pl.when(f == 0)
+    def _init():
+        h_a_s[:] = jnp.zeros_like(h_a_s)
+        h_b_s[:] = jnp.zeros_like(h_b_s)
+        hist_s[:] = jnp.zeros_like(hist_s)
+
+    cond_a = cond_a_ref[0]          # (3Ha, B), input bias folded
+    cond_b = cond_b_ref[0]          # (3Hb, B), input bias folded
+    lpc_rev = lpc_ref[0]            # (16, B) f32, reversed coeff order
+    temp = temp_ref[0]              # (1, B) f32 sharpening temperature
+    iota_emb = jax.lax.broadcasted_iota(jnp.int32, (3 * levels, b), 0)
+
+    def gates(pre, gh, h, width):
+        # exact f32 nonlinearities (bf16 and Pade-approx variants were
+        # measured: no win on this part, so keep fidelity)
+        r = jax.nn.sigmoid(pre[:width] + gh[:width])
+        z = jax.nn.sigmoid(pre[width:2 * width] + gh[width:2 * width])
+        n = jnp.tanh(pre[2 * width:] + r * gh[2 * width:])
+        return (1.0 - z) * n + z * h
+
+    def step(t, carry):
+        h_a, h_b, hist, prev_e, prev_y = carry
+        pred = -jnp.sum(hist * lpc_rev, axis=0, keepdims=True)  # (1,B)
+
+        ix = _l2u_rows(hist[15:16])
+        ie = _l2u_rows(prev_e)
+        ip = _l2u_rows(pred)
+        # One (3Ha, 768) @ one-hot (768, B) matmul against precomputed
+        # embedding x input-weight product tables.  (A smaller
+        # embedding-first variant - three (E, 256) gathers then one
+        # (3Ha, 3E) matmul - measures SLOWER: many small matmuls pay
+        # MXU pipeline overheads that one wide-K matmul amortises.)
+        onehot = ((iota_emb == ix.astype(jnp.int32)).astype(acc_dtype)
+                  + (iota_emb == ie.astype(jnp.int32) + levels
+                     ).astype(acc_dtype)
+                  + (iota_emb == ip.astype(jnp.int32) + 2 * levels
+                     ).astype(acc_dtype))                     # (768, B)
+        # GRU internals run entirely in acc_dtype (bf16 by default):
+        # the gate nonlinearities on (3Ha, B) are VPU transcendentals
+        # whose cost halves in bf16; only the sampling math stays f32.
+        pre_a = jnp.dot(tab_ref[:], onehot,
+                        preferred_element_type=jnp.float32) + cond_a
+        gh_a = jnp.dot(wh_a_ref[:], h_a.astype(acc_dtype),
+                       preferred_element_type=jnp.float32) + bh_a_ref[:]
+        h_a = gates(pre_a, gh_a, h_a, ha)
+
+        pre_b = jnp.dot(wi_b_ref[:], h_a.astype(acc_dtype),
+                        preferred_element_type=jnp.float32) + cond_b
+        gh_b = jnp.dot(wh_b_ref[:], h_b.astype(acc_dtype),
+                       preferred_element_type=jnp.float32) + bh_b_ref[:]
+        h_b = gates(pre_b, gh_b, h_b, hb)
+
+        # merged dual FC: one (2*levels, Hb) matmul, split + tanh + add
+        fcpre = jnp.dot(fc1_ref[:], h_b.astype(acc_dtype),
+                        preferred_element_type=jnp.float32) + fc1b_ref[:]
+        logits = (jnp.tanh(fcpre[:levels])
+                  + jnp.tanh(fcpre[levels:]))                 # (256, B)
+        # logits in [-2, 2] and temp clipped small: exp never overflows,
+        # so the usual max-subtraction is skipped.  The 0.002 tail cut
+        # acts on NORMALISED probs; scale it by Z instead of dividing:
+        # max(p/Z - c, 0) has the same argcdf as max(p - c*Z, 0).
+        # Sampling chain stays on the MXU: cross-sublane reductions and
+        # rolls on (256, B) are far slower on this part than the extra
+        # matmul passes (measured: roll-cumsum variant costs +10us/step).
+        p = jnp.exp(logits * temp)
+        ones_row = ones_ref[0:1]                              # (1, 256)
+        z = jnp.dot(ones_row, p,
+                    preferred_element_type=jnp.float32)       # (1, B)
+        pcut = jnp.maximum(p - 0.002 * z, 0.0)
+        cdf = jnp.dot(tri_ref[:], pcut,
+                      preferred_element_type=jnp.float32)     # inclusive
+        total = jnp.dot(ones_row, pcut,
+                        preferred_element_type=jnp.float32)
+        u_t = u_ref[0, pl.ds(t, 1), :]                        # (1, B)
+        thresh = u_t * total
+        below = (cdf < thresh).astype(jnp.float32)            # (256, B)
+        # below[k] == 1  iff  k < sampled index; mu-law decode via
+        # e = u2l[0] + sum_k below[k] * (u2l[k+1] - u2l[k])
+        e_lin = jnp.dot(u2l_ref[0:1], below,
+                        preferred_element_type=jnp.float32) + u2l_base
+        sample = pred + e_lin
+        hist = jnp.concatenate([hist[1:], sample], axis=0)
+        y = sample + deemph * prev_y
+        out_ref[0, pl.ds(t, 1), :] = y
+        return h_a, h_b, hist, e_lin, y
+
+    prev_e0 = hist_s[16:17]
+    prev_y0 = hist_s[17:18]
+    h_a, h_b, hist, prev_e, prev_y = jax.lax.fori_loop(
+        0, C.FRAME_SIZE, step,
+        (h_a_s[:ha], h_b_s[:hb], hist_s[:16], prev_e0, prev_y0))
+    h_a_s[:ha] = h_a
+    h_b_s[:hb] = h_b
+    hist_s[:16] = hist
+    hist_s[16:17] = prev_e
+    hist_s[17:18] = prev_y
+
+
+def pallas_generate(params, feat: jax.Array, periods: jax.Array,
+                    lpc: jax.Array, key: jax.Array,
+                    corr: Optional[jax.Array] = None,
+                    deemphasis: float = 0.85,
+                    dtype=jnp.bfloat16,
+                    interpret: bool = False) -> jax.Array:
+    """Drop-in replacement for lpcnet.generate using the fused kernel.
+
+    feat (B, L, 20), periods (B, L) int, lpc (B, L, 16) -> (B, L*160).
+    """
+    from fpsc_tpu.models.lpcnet import frame_net
+
+    b, length, _ = feat.shape
+    levels = params.sample_emb.table.shape[0]
+    ha = params.gru_a.units
+    hb = params.gru_b.units
+    e_dim = params.sample_emb.table.shape[1]
+    corr = feat[..., 19] if corr is None else corr
+
+    cond = frame_net(params, feat, periods)
+    emb = params.sample_emb.table
+    wi_a = params.gru_a.wi
+    hp = jax.lax.Precision.HIGHEST
+    # (3Ha, 768): one column per (input-slot, mu-law level)
+    tab = jnp.concatenate([
+        jnp.matmul(wi_a[:, :e_dim], emb.T, precision=hp),
+        jnp.matmul(wi_a[:, e_dim:2 * e_dim], emb.T, precision=hp),
+        jnp.matmul(wi_a[:, 2 * e_dim:3 * e_dim], emb.T, precision=hp),
+    ], axis=1)
+    cond_a = jnp.matmul(cond, wi_a[:, 3 * e_dim:].T,
+                        precision=hp) + params.gru_a.bi    # (B, L, 3Ha)
+    wi_b = params.gru_b.wi
+    cond_b = jnp.matmul(cond, wi_b[:, ha:].T,
+                        precision=hp) + params.gru_b.bi    # (B, L, 3Hb)
+
+    # batch pads onto the lane dimension
+    b_pad = max(8, -(-b // 8) * 8)
+    def to_fmajor(x):
+        """(B, L, F) -> (L, F, B_pad)"""
+        x = jnp.transpose(x, (1, 2, 0))
+        if b != b_pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, b_pad - b)))
+        return x
+
+    # canonical (L, B, 160) stream shared with the XLA sampler
+    uniforms = jax.random.uniform(key, (length, b, C.FRAME_SIZE),
+                                  jnp.float32)
+    uniforms = jnp.transpose(uniforms, (0, 2, 1))
+    if b != b_pad:
+        uniforms = jnp.pad(uniforms, ((0, 0), (0, 0), (0, b_pad - b)))
+
+    gamma = jnp.clip(1.5 * corr - 0.5, 0.0, 1.5)
+    temps = to_fmajor((1.0 + gamma)[..., None])
+    lpc_rev = to_fmajor(lpc[..., ::-1])
+    cond_a_s = to_fmajor(cond_a)
+    cond_b_s = to_fmajor(cond_b)
+
+    # u2l forward diffs u2l[k+1]-u2l[k] as one aligned row; the
+    # constant base u2l[0] is baked into the kernel.
+    # pure-numpy mu-law table (jit-safe: these are compile-time consts)
+    _u = np.arange(levels, dtype=np.float64) - 128.0
+    u2l_vals = (np.sign(_u) * (32768.0 / 255.0)
+                * (np.exp(np.abs(_u) / 128.0 * _LOG256) - 1.0)) / 32768.0
+    u2l_row = jnp.asarray(np.concatenate(
+        [u2l_vals[1:] - u2l_vals[:-1], [0.0]])[None, :], jnp.float32)
+    u2l_base = float(u2l_vals[0])
+    tri = jnp.tril(jnp.ones((levels, levels), jnp.float32))
+    ones_rows = jnp.ones((8, levels), jnp.float32)
+    fc_w = jnp.concatenate([params.fc1.w, params.fc2.w], axis=0)
+    fc_b = jnp.concatenate([params.fc1.b, params.fc2.b])[:, None]
+
+    frame_spec = lambda rows: pl.BlockSpec(
+        (1, rows, b_pad), lambda f: (f, 0, 0), memory_space=pltpu.VMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel, ha=ha, hb=hb, levels=levels, deemph=deemphasis,
+        u2l_base=u2l_base, acc_dtype=dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(length,),
+        in_specs=[
+            frame_spec(3 * ha),        # cond_a
+            frame_spec(3 * hb),        # cond_b
+            frame_spec(16),            # lpc
+            frame_spec(1),             # temp
+            frame_spec(C.FRAME_SIZE),  # uniforms
+            vmem, vmem, vmem,          # tab wh_a bh_a
+            vmem, vmem, vmem,          # wi_b wh_b bh_b
+            vmem, vmem, vmem, vmem, vmem,  # fc b tri 1s u2l
+        ],
+        out_specs=frame_spec(C.FRAME_SIZE),
+        out_shape=jax.ShapeDtypeStruct(
+            (length, C.FRAME_SIZE, b_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ha, b_pad), jnp.float32),
+            pltpu.VMEM((max(hb, 8), b_pad), jnp.float32),
+            pltpu.VMEM((24, b_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(
+        cond_a_s.astype(dtype), cond_b_s.astype(dtype),
+        lpc_rev, temps, uniforms,
+        tab.astype(dtype),
+        params.gru_a.wh.astype(dtype),
+        params.gru_a.bh[:, None],
+        params.gru_b.wi[:, :ha].astype(dtype),
+        params.gru_b.wh.astype(dtype), params.gru_b.bh[:, None],
+        fc_w.astype(dtype), fc_b,
+        tri, ones_rows, u2l_row,
+    )
+    # (L, 160, B) -> (B, T)
+    y = out[:, :, :b].reshape(length * C.FRAME_SIZE, b)
+    return jnp.transpose(y, (1, 0))

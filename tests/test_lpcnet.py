@@ -79,7 +79,8 @@ def test_generate_scan_matches_python_loop(model):
     lpc_up = np.repeat(lpc, C.FRAME_SIZE, axis=1)
     corr_up = np.repeat(feat[..., 19], C.FRAME_SIZE, axis=1)
     uniforms = np.asarray(jax.random.uniform(
-        key, (2, C.FRAME_SIZE, b, 1))).reshape(t_total, b, 1)
+        key, (2, b, C.FRAME_SIZE))).transpose(0, 2, 1).reshape(
+        t_total, b, 1)
 
     h_a = jnp.zeros((b, CFG.gru_a_units))
     h_b = jnp.zeros((b, CFG.gru_b_units))

@@ -1,0 +1,135 @@
+"""WaveNet vocoder + IAF + attention + para-predictor tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.models import wavenet as wn
+
+RNG = np.random.RandomState(51)
+
+CFG = wn.WavenetConfig(num_blocks=1, num_layers=3,
+                       residual_channels=16, gate_channels=24,
+                       skip_channels=16, cin_channels=20,
+                       cout_channels=24, front_kernel=8)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return wn.init_wavenet(jax.random.PRNGKey(0), CFG)
+
+
+def test_forward_shapes(model):
+    b, frames = 2, 2
+    t = frames * 160
+    x = (RNG.randn(b, 1, t) * 0.1).astype(np.float32)
+    c = (RNG.randn(b, 20, frames) * 0.3).astype(np.float32)
+    periods = RNG.randint(32, 256, (b, frames)).astype(np.int32)
+    out = wn.forward(model, CFG, jnp.asarray(x), jnp.asarray(periods),
+                     jnp.asarray(c))
+    assert out.shape == (b, 2, t)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_upsampler_length(model):
+    b, frames = 2, 3
+    c = (RNG.randn(b, 20, frames) * 0.3).astype(np.float32)
+    periods = RNG.randint(32, 256, (b, frames)).astype(np.int32)
+    up = wn.upsample(model.upsampler, CFG, jnp.asarray(c),
+                     jnp.asarray(periods))
+    assert up.shape == (b, CFG.cout_channels, frames * 160)
+
+
+def test_causality(model):
+    """Changing x[t0] must not affect outputs before t0."""
+    b, frames = 1, 2
+    t = frames * 160
+    x = (RNG.randn(b, 1, t) * 0.1).astype(np.float32)
+    c = (RNG.randn(b, 20, frames) * 0.3).astype(np.float32)
+    periods = RNG.randint(32, 256, (b, frames)).astype(np.int32)
+    out1 = np.asarray(wn.forward(model, CFG, jnp.asarray(x),
+                                 jnp.asarray(periods), jnp.asarray(c)))
+    x2 = x.copy()
+    t0 = 200
+    x2[0, 0, t0] += 1.0
+    out2 = np.asarray(wn.forward(model, CFG, jnp.asarray(x2),
+                                 jnp.asarray(periods), jnp.asarray(c)))
+    np.testing.assert_allclose(out1[..., :t0], out2[..., :t0],
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(out1[..., t0:] - out2[..., t0:]).max() > 1e-4
+
+
+def test_generate_incremental_matches_teacher_forced(model):
+    """Ring-buffer AR generation must be self-consistent with the
+    parallel teacher-forced stack: feeding the generated signal back
+    through forward() reproduces each step's sampling identity
+    x[t] = mean_t + std_t * eps[t] (lpc=0 so pred=0)."""
+    b, frames = 1, 2
+    t = frames * 160
+    c = (RNG.randn(b, 20, frames) * 0.3).astype(np.float32)
+    periods = RNG.randint(32, 256, (b, frames)).astype(np.int32)
+    lpc_sample = np.zeros((b, t, 16), np.float32)
+    key = jax.random.PRNGKey(3)
+    y = np.asarray(wn.generate_lpc(
+        model, CFG, key, jnp.asarray(c), jnp.asarray(periods),
+        jnp.asarray(lpc_sample), deemphasis=0.0))
+    # reconstruct the eps stream used by the scan
+    eps = np.asarray(jax.random.normal(key, (t, b))).T
+    # teacher-forced dists on the generated sequence
+    out = np.asarray(wn.forward(model, CFG, jnp.asarray(y[:, None, :]),
+                                jnp.asarray(periods), jnp.asarray(c)))
+    mean, log_std = out[:, 0], out[:, 1]
+    want = mean[:, :-1] + np.exp(log_std[:, :-1]) * eps[:, 1:]
+    # tiny float differences between incremental and parallel convs
+    # compound through the AR feedback; allow a few mills absolute
+    np.testing.assert_allclose(y[:, 1:], want, rtol=1e-2, atol=2e-3)
+
+
+def test_receptive_field():
+    assert wn.receptive_field_size(CFG) == (2 - 1) * (1 + 2 + 4) + 8
+
+
+def test_iaf_shapes_and_flow_identity():
+    from fpsc_tpu.models import wavenet_iaf as iaf
+    cfg = iaf.IAFConfig(num_flows=2, num_layers=2, residual_channels=8,
+                        gate_channels=12, skip_channels=8,
+                        cout_channels=12)
+    params = iaf.init_iaf(jax.random.PRNGKey(1), cfg)
+    z = (RNG.randn(2, 1, 100) * 0.5).astype(np.float32)
+    c = (RNG.randn(2, 12, 100) * 0.3).astype(np.float32)
+    x, mu, logs = iaf.iaf(params, cfg, jnp.asarray(z), jnp.asarray(c))
+    assert x.shape == (2, 1, 100)
+    assert mu.shape == (2, 1, 99)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_location_attention():
+    from fpsc_tpu.models import attention as att
+    p = att.init_location_attention(jax.random.PRNGKey(2), 16)
+    x = (RNG.randn(2, 12, 16)).astype(np.float32)
+    ctx, a = att.attend(p, jnp.asarray(x[:, :1]), jnp.asarray(x))
+    assert ctx.shape == (2, 1, 16)
+    np.testing.assert_allclose(np.asarray(a).sum(-1), 1.0, rtol=1e-5)
+    out = att.loop_attention(p, jnp.asarray(x), attn_range=4)
+    assert out.shape == (2, 12, 16)
+
+
+def test_para_predictor():
+    from fpsc_tpu.models import frame_predictor_para as fpp
+    cfg = fpp.ParaConfig(gru_units1=24, gru_units2=12)
+    params = fpp.init_para(jax.random.PRNGKey(4), cfg)
+    feat = (RNG.randn(2, 10, 20) * 0.3).astype(np.float32)
+    x_mid, x_out, h1, h2, h3 = fpp.forward(params, jnp.asarray(feat))
+    assert x_mid.shape == (2, 10, 18) and x_out.shape == (2, 10, 18)
+    enc = fpp.encoder(params, jnp.asarray(feat), l1=0.09, l2=0.28,
+                      qtz=False)
+    assert enc["c_in"].shape == (2, 10, 20)
+    # kept+under residuals reconstruct the raw residual for c1..c17
+    r_sum = np.asarray(enc["r"])[:, :, 1:] + np.asarray(
+        enc["r_under"])[:, :, 1:]
+    # compare against open recompute: r = ceps - pred where pred from
+    # the closed loop; consistency check via masks only
+    ind2 = np.asarray(enc["ind2"])
+    assert np.all((np.abs(np.asarray(enc["r"])[:, :, 1:]).sum(-1) > 0)
+                  <= ind2)
