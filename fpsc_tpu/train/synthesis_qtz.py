@@ -1,0 +1,114 @@
+"""Full-codec synthesis entry point (encode -> bitstream -> decode ->
+vocoder).
+
+Capability parity with reference src/synthesis_qtz.py (which encodes
+selected utterances with the hard mask and dumps feature files for the
+EXTERNAL LPCNet vocoder, synthesis_qtz.py:93-166 + README.md:42-47).
+Here the whole codec closes in-framework: the coded features drive the
+batched LPCNet sampler (fused Pallas kernel) directly, producing wavs
+plus the coded-feature .npy dumps for interchange.
+
+Run:  python -m fpsc_tpu.train.synthesis_qtz data.synthetic=true \
+          codec.codebook_path=codebooks/default.npz
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpsc_tpu.codec import bitstream as bs
+from fpsc_tpu.codec.codec import coded_feature_windows, decode, encode
+from fpsc_tpu.config.config import Config, parse_cli
+from fpsc_tpu.data.dataset import build_dataset, predictor_inputs
+from fpsc_tpu.dsp import constants as C
+from fpsc_tpu.dsp.ceps2lpc import ceps2lpc
+from fpsc_tpu.models import lpcnet
+from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
+from fpsc_tpu.train import checkpoint as ckpt
+from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+from fpsc_tpu.train.synthesis import save_wav
+from fpsc_tpu.train.train_frame import build_model as build_frame
+
+
+def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
+        vocoder_params: Optional[lpcnet.LPCNetParams] = None,
+        use_pallas: bool = True):
+    frame_params = build_frame(cfg, jax.random.PRNGKey(cfg.train.seed))
+    if cfg.train.transfer_model:
+        payload = ckpt.load(ckpt.checkpoint_path(
+            cfg.train.save_dir, cfg.train.transfer_model,
+            cfg.train.transfer_epoch))
+        frame_params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(frame_params),
+            [jnp.asarray(v) for v in
+             jax.tree_util.tree_leaves(payload["params"])])
+    codebooks = ckpt.load_codebooks(cfg.codec.codebook_path)
+    sizes = codebook_sizes(codebooks)
+
+    if vocoder_params is None:
+        lcfg = lpcnet.LPCNetConfig(
+            gru_a_units=cfg.lpcnet.gru_a_units,
+            gru_b_units=cfg.lpcnet.gru_b_units,
+            embed_dim=cfg.lpcnet.embed_dim,
+            cond_units=cfg.lpcnet.cond_units)
+        vocoder_params = lpcnet.init_lpcnet(
+            jax.random.PRNGKey(cfg.train.seed + 2), lcfg)
+
+    ds = build_dataset(cfg.data, "val")
+    out_dir = out_dir or os.path.join(cfg.train.save_dir,
+                                      f"qtz_samples_{cfg.label}")
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+    for ns, batch in enumerate(ds.iter_batches(1, seed=0)):
+        if ns >= num_samples:
+            break
+        name = batch["name"][0]
+        feat = jnp.asarray(predictor_inputs(batch, cfg.data.normalize))
+
+        # --- transmit chain: encode -> pack -> unpack -> decode ---
+        enc = encode(frame_params, codebooks, feat,
+                     l1=cfg.codec.l1, l2=cfg.codec.l2)
+        packed = bs.pack_utterance(
+            np.asarray(enc["ind1"])[0], np.asarray(enc["ind2"])[0],
+            {k: np.asarray(v)[0] for k, v in enc["indices"].items()},
+            np.asarray(feat)[0, :, 18:], sizes)
+        got = bs.unpack_utterance(packed, sizes)
+        coded = decode(frame_params, codebooks,
+                       jnp.asarray(got["ind1"][None]),
+                       jnp.asarray(got["ind2"][None]),
+                       {k: jnp.asarray(v[None])
+                        for k, v in got["indices"].items()},
+                       jnp.asarray(got["pitch"][None]))
+
+        # coded-feature windows for interchange (reference dump format)
+        windows = coded_feature_windows(coded)[0]
+        np.save(os.path.join(out_dir, f"{name}_features.npy"), windows)
+
+        # --- vocoder synthesis from the DECODED features only ---
+        coded_un = np.asarray(coded) * C.MAXI
+        periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
+                   ).astype(np.int32)
+        _, lpc, _ = ceps2lpc(jnp.asarray(
+            coded_un.reshape(-1, 20)[:, :18]))
+        lpc = np.asarray(lpc).reshape(coded_un.shape[0], -1, 16)
+        gen = pallas_generate if use_pallas else lpcnet.generate
+        y = np.asarray(gen(
+            vocoder_params, coded, jnp.asarray(periods),
+            jnp.asarray(lpc), jax.random.PRNGKey(ns)))
+        save_wav(os.path.join(out_dir, f"{name}_truth.wav"),
+                 batch["x"][0])
+        save_wav(os.path.join(out_dir, f"{name}_dec.wav"), y[0])
+        rate = bs.bitrate_bps(len(packed), feat.shape[1])
+        print(f"{name}: {len(packed)} bytes ({rate:.0f} b/s) "
+              f"-> {y.shape[-1]} samples")
+        results.append({"name": name, "bitrate": rate,
+                        "wav": y[0], "packed": packed})
+    return results
+
+
+if __name__ == "__main__":
+    run(parse_cli())
