@@ -59,13 +59,13 @@ def _l2u_rows(v):
 
 
 def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
-            tab_ref, wh_a_ref, bh_a_ref, wi_b_ref,
+            tab_ref, tab_scale_ref, wh_a_ref, bh_a_ref, wi_b_ref,
             wh_b_ref, bh_b_ref,
             fc1_ref, fc1b_ref, tri_ref, ones_ref,
             u2l_ref, out_ref,
             h_a_s, h_b_s, hist_s,
             *, ha: int, hb: int, levels: int, deemph: float,
-            u2l_base: float, acc_dtype):
+            u2l_base: float, acc_dtype, int8_embed: bool):
     f = pl.program_id(0)
     b = h_a_s.shape[1]
 
@@ -101,16 +101,22 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         # embedding-first variant - three (E, 256) gathers then one
         # (3Ha, 3E) matmul - measures SLOWER: many small matmuls pay
         # MXU pipeline overheads that one wide-K matmul amortises.)
-        onehot = ((iota_emb == ix.astype(jnp.int32)).astype(acc_dtype)
+        oh_dtype = jnp.int8 if int8_embed else acc_dtype
+        onehot = ((iota_emb == ix.astype(jnp.int32)).astype(oh_dtype)
                   + (iota_emb == ie.astype(jnp.int32) + levels
-                     ).astype(acc_dtype)
+                     ).astype(oh_dtype)
                   + (iota_emb == ip.astype(jnp.int32) + 2 * levels
-                     ).astype(acc_dtype))                     # (768, B)
-        # GRU internals run entirely in acc_dtype (bf16 by default):
-        # the gate nonlinearities on (3Ha, B) are VPU transcendentals
-        # whose cost halves in bf16; only the sampling math stays f32.
-        pre_a = jnp.dot(tab_ref[:], onehot,
-                        preferred_element_type=jnp.float32) + cond_a
+                     ).astype(oh_dtype))                      # (768, B)
+        if int8_embed:
+            # int8 x int8 -> int32 on the MXU runs at 2x the bf16 rate;
+            # the table is per-row symmetric-quantised (the same 8-bit
+            # weight scheme LPCNet's C inference uses)
+            acc = jnp.dot(tab_ref[:], onehot,
+                          preferred_element_type=jnp.int32)
+            pre_a = acc.astype(jnp.float32) * tab_scale_ref[:] + cond_a
+        else:
+            pre_a = jnp.dot(tab_ref[:], onehot,
+                            preferred_element_type=jnp.float32) + cond_a
         gh_a = jnp.dot(wh_a_ref[:], h_a.astype(acc_dtype),
                        preferred_element_type=jnp.float32) + bh_a_ref[:]
         h_a = gates(pre_a, gh_a, h_a, ha)
@@ -172,6 +178,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
                     corr: Optional[jax.Array] = None,
                     deemphasis: float = 0.85,
                     dtype=jnp.bfloat16,
+                    int8_embed=None,
                     interpret: bool = False) -> jax.Array:
     """Drop-in replacement for lpcnet.generate using the fused kernel.
 
@@ -242,9 +249,21 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
         (1, rows, b_pad), lambda f: (f, 0, 0), memory_space=pltpu.VMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    if int8_embed is None:
+        # int8 MXU would run the table matmul at 2x bf16 rate, but the
+        # current Mosaic rejects vector<i8> elementwise ops ("Only
+        # vector<i16> and vector<i32> are supported"); off by default.
+        int8_embed = False
+    if int8_embed:
+        tab_scale = jnp.max(jnp.abs(tab), axis=1, keepdims=True) / 127.0
+        tab_q = jnp.round(tab / tab_scale).astype(jnp.int8)
+    else:
+        tab_scale = jnp.ones((tab.shape[0], 1), jnp.float32)
+        tab_q = tab.astype(dtype)
+
     kernel = functools.partial(
         _kernel, ha=ha, hb=hb, levels=levels, deemph=deemphasis,
-        u2l_base=u2l_base, acc_dtype=dtype)
+        u2l_base=u2l_base, acc_dtype=dtype, int8_embed=int8_embed)
 
     out = pl.pallas_call(
         kernel,
@@ -255,7 +274,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
             frame_spec(16),            # lpc
             frame_spec(1),             # temp
             frame_spec(C.FRAME_SIZE),  # uniforms
-            vmem, vmem, vmem,          # tab wh_a bh_a
+            vmem, vmem, vmem, vmem,    # tab tab_scale wh_a bh_a
             vmem, vmem, vmem,          # wi_b wh_b bh_b
             vmem, vmem, vmem, vmem, vmem,  # fc b tri 1s u2l
         ],
@@ -273,7 +292,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     )(
         cond_a_s.astype(dtype), cond_b_s.astype(dtype),
         lpc_rev, temps, uniforms,
-        tab.astype(dtype),
+        tab_q, tab_scale,
         params.gru_a.wh.astype(dtype),
         params.gru_a.bh[:, None],
         params.gru_b.wi[:, :ha].astype(dtype),
