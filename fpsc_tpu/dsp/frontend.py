@@ -67,26 +67,30 @@ def frame_signal(x: np.ndarray) -> np.ndarray:
 
 def estimate_pitch(x: np.ndarray, n_frames: int) -> np.ndarray:
     """(n_frames, 2) [period_feature, corr_feature] via normalised
-    autocorrelation over [PITCH_MIN, PITCH_MAX] lags."""
+    autocorrelation over [PITCH_MIN, PITCH_MAX] lags (vectorised over
+    all frames and lags; ties keep the SMALLEST lag, and frames whose
+    best correlation is <= 0 report PITCH_MAX, matching the scalar
+    search this replaced and the C extractor)."""
     pad = np.concatenate([np.zeros(PITCH_MAX, np.float32),
                           np.asarray(x, np.float32)])
-    out = np.zeros((n_frames, 2), np.float32)
     win = C.WINDOW_SIZE
-    for t in range(n_frames):
-        base = PITCH_MAX + t * C.FRAME_SIZE
-        seg = pad[base: base + win]
-        e0 = float(np.dot(seg, seg)) + 1e-9
-        best_corr, best_lag = 0.0, PITCH_MAX
-        for lag in range(PITCH_MIN, PITCH_MAX + 1, 2):
-            ref = pad[base - lag: base - lag + win]
-            num = float(np.dot(seg, ref))
-            den = np.sqrt(e0 * (float(np.dot(ref, ref)) + 1e-9))
-            corr = num / den
-            if corr > best_corr:
-                best_corr, best_lag = corr, lag
-        out[t, 0] = (best_lag - 100.0) / 50.0
-        out[t, 1] = best_corr - 0.5
-    return out
+    if n_frames == 0:
+        return np.zeros((0, 2), np.float32)
+    sw = np.lib.stride_tricks.sliding_window_view(pad, win)  # (S, 320)
+    bases = PITCH_MAX + C.FRAME_SIZE * np.arange(n_frames)
+    lags = np.arange(PITCH_MIN, PITCH_MAX + 1, 2)
+    seg = sw[bases].astype(np.float64)                 # (T, 320)
+    refs = sw[bases[:, None] - lags[None, :]].astype(np.float64)
+    e0 = np.einsum("tw,tw->t", seg, seg) + 1e-9        # (T,)
+    num = np.einsum("tw,tlw->tl", seg, refs)           # (T, L)
+    er = np.einsum("tlw,tlw->tl", refs, refs) + 1e-9
+    corr = num / np.sqrt(e0[:, None] * er)
+    best = np.argmax(corr, axis=1)
+    best_corr = corr[np.arange(n_frames), best]
+    best_lag = np.where(best_corr > 0.0, lags[best], PITCH_MAX)
+    best_corr = np.maximum(best_corr, 0.0)
+    out = np.stack([(best_lag - 100.0) / 50.0, best_corr - 0.5], 1)
+    return out.astype(np.float32)
 
 
 def extract_features_np(x: np.ndarray) -> np.ndarray:
