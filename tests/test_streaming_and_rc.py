@@ -1,0 +1,136 @@
+"""Streaming codec parity with batch scans; range coder round-trips."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.codec import range_coder as rc
+from fpsc_tpu.codec.codec import encode
+from fpsc_tpu.models import frame_predictor as fp
+
+RNG = np.random.RandomState(71)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = fp.FramePredictorConfig(gru_units1=24, gru_units2=12)
+    params = fp.init_frame_predictor(jax.random.PRNGKey(3), cfg)
+    r = np.random.RandomState(5)
+    cbs = fp.Codebooks(
+        scl=jnp.asarray(np.sort(r.randn(8)).astype(np.float32) * 0.1),
+        vq=(jnp.asarray(r.randn(16, 17).astype(np.float32) * 0.1),),
+        scl_bl=jnp.asarray(np.sort(r.randn(4)).astype(np.float32) * 0.02),
+        vq_bl=(jnp.asarray(r.randn(8, 17).astype(np.float32) * 0.02),),
+    )
+    feat = (RNG.randn(1, 12, 20) * 0.3).astype(np.float32)
+    return params, cbs, feat
+
+
+def test_streaming_encoder_matches_batch(setup):
+    from fpsc_tpu.codec.streaming import StreamingEncoder
+    params, cbs, feat = setup
+    batch = encode(params, cbs, jnp.asarray(feat))
+    senc = StreamingEncoder(params, cbs)
+    for t in range(feat.shape[1]):
+        out = senc.encode_frame(feat[0, t])
+        assert bool(out["ind1"]) == bool(np.asarray(batch["ind1"])[0, t])
+        np.testing.assert_allclose(
+            out["coded"], np.asarray(batch["coded"])[0, t],
+            rtol=1e-5, atol=1e-6)
+        for k in ("scl", "vq"):
+            np.testing.assert_array_equal(
+                out["indices"][k], np.asarray(batch["indices"][k])[0, t])
+
+
+def test_streaming_decoder_matches_encoder(setup):
+    from fpsc_tpu.codec.streaming import (StreamingDecoder,
+                                          StreamingEncoder)
+    params, cbs, feat = setup
+    senc = StreamingEncoder(params, cbs)
+    sdec = StreamingDecoder(params, cbs)
+    for t in range(feat.shape[1]):
+        out = senc.encode_frame(feat[0, t])
+        coded = sdec.decode_frame(out["ind1"], out["ind2"],
+                                  out["indices"], feat[0, t, 18:])
+        np.testing.assert_allclose(coded, out["coded"],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_vocoder_runs(setup):
+    from fpsc_tpu.codec.streaming import StreamingVocoder
+    from fpsc_tpu.models import lpcnet
+    params, cbs, feat = setup
+    lcfg = lpcnet.LPCNetConfig(gru_a_units=16, gru_b_units=8,
+                               embed_dim=8, cond_units=8)
+    voc = StreamingVocoder(lpcnet.init_lpcnet(jax.random.PRNGKey(1),
+                                              lcfg))
+    y1 = voc.synthesize_frame(feat[0, 0])
+    y2 = voc.synthesize_frame(feat[0, 1])
+    assert y1.shape == (160,) and np.isfinite(y1).all()
+    assert not np.array_equal(y1, y2)
+
+
+def test_range_coder_roundtrip_random_symbols():
+    rng = np.random.RandomState(0)
+    counts = rng.randint(1, 100, 32)
+    table = rc.FreqTable(counts)
+    syms = rng.randint(0, 32, 500)
+    enc = rc.RangeEncoder()
+    for s in syms:
+        enc.encode(table, int(s))
+    data = enc.finish()
+    dec = rc.RangeDecoder(data)
+    got = [dec.decode(table) for _ in syms]
+    np.testing.assert_array_equal(got, syms)
+
+
+def test_range_coder_near_entropy():
+    """A skewed source must code near its entropy, well below fixed
+    width."""
+    rng = np.random.RandomState(1)
+    probs = np.array([0.85, 0.05, 0.04, 0.03, 0.01, 0.01, 0.005, 0.005])
+    n = 4000
+    syms = rng.choice(8, size=n, p=probs)
+    table = rc.FreqTable(probs * 1e6)
+    enc = rc.RangeEncoder()
+    for s in syms:
+        enc.encode(table, int(s))
+    bits = len(enc.finish()) * 8
+    h = -np.sum(probs * np.log2(probs))
+    assert bits / n < h * 1.1 + 0.1     # within 10% of entropy
+    assert bits / n < 3.0               # far below the 3-bit fixed width
+
+
+def test_entropy_pack_roundtrip_and_rate(setup):
+    params, cbs, feat = setup
+    feat_long = (RNG.randn(1, 60, 20) * 0.3).astype(np.float32)
+    enc = encode(params, cbs, jnp.asarray(feat_long))
+    counts = fp.usage_counts(cbs, enc["indices"])
+    ind1 = np.asarray(enc["ind1"])[0]
+    ind2 = np.asarray(enc["ind2"])[0]
+    models = {
+        "ind1": rc.FreqTable([np.sum(~ind1), np.sum(ind1)]),
+        "ind2": rc.FreqTable([np.sum(~ind2), np.sum(ind2)]),
+        "scl": rc.FreqTable(np.asarray(counts[0])),
+        "scl_bl": rc.FreqTable(np.asarray(counts[1])),
+        "vq_0": rc.FreqTable(np.asarray(counts[2])),
+        "vq_bl_0": rc.FreqTable(np.asarray(counts[3])),
+    }
+    indices = {k: np.asarray(v)[0] for k, v in enc["indices"].items()}
+    data = rc.entropy_pack(ind1, ind2, indices, models)
+    got = rc.entropy_unpack(data, len(ind1), models, n_vq=1, n_vq_bl=1)
+    np.testing.assert_array_equal(got["ind1"], ind1)
+    np.testing.assert_array_equal(got["ind2"], ind2)
+    for k in ("scl", "vq", "scl_bl", "vq_bl"):
+        want = indices[k]
+        mask = want >= 0
+        np.testing.assert_array_equal(
+            np.asarray(got["indices"][k])[mask], want[mask])
+    # entropy coding beats fixed-width packing of the same streams
+    # (indicators + codebook indices; pitch excluded on both sides)
+    from fpsc_tpu.codec.bitstream import _nbits
+    fixed_bits = len(ind1) * 2 + int(ind1.sum()) * _nbits(8) + \
+        int((~ind1).sum()) * _nbits(4) + int(ind2.sum()) * _nbits(16) + \
+        int((~ind2).sum()) * _nbits(8)
+    assert len(data) * 8 <= fixed_bits
