@@ -91,3 +91,37 @@ def test_sharded_codebook_search():
     with m:
         got = np.asarray(jax.jit(find_nearest)(data_sh, cb_sh))
     np.testing.assert_array_equal(got, want)
+
+
+def test_shard_map_find_nearest_matches_gspmd():
+    """Hand-written collective search == single-device argmin."""
+    from fpsc_tpu.parallel.sharded_vq import (shard_arrays,
+                                              sharded_find_nearest)
+    from fpsc_tpu.quant.lbg import find_nearest
+    m = meshlib.make_mesh(n_data=4, n_model=2)
+    rng = np.random.RandomState(3)
+    data = rng.randn(64, 17).astype(np.float32)
+    cb = rng.randn(32, 17).astype(np.float32)
+    want = np.asarray(find_nearest(jnp.asarray(data), jnp.asarray(cb)))
+    d_sh, cb_sh = shard_arrays(m, data, cb)
+    got = np.asarray(sharded_find_nearest(m, d_sh, cb_sh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shard_map_kmeans_update_matches_single():
+    from fpsc_tpu.parallel.sharded_vq import (shard_arrays,
+                                              sharded_kmeans_update)
+    from fpsc_tpu.quant.lbg import kmeans_update
+    m = meshlib.make_mesh(n_data=4, n_model=2)
+    rng = np.random.RandomState(4)
+    data = rng.randn(128, 6).astype(np.float32)
+    cb = rng.randn(16, 6).astype(np.float32)
+    want_cb, want_counts = kmeans_update(jnp.asarray(data),
+                                         jnp.asarray(cb),
+                                         jnp.asarray(16))
+    d_sh, cb_sh = shard_arrays(m, data, cb)
+    got_cb, got_counts = sharded_kmeans_update(m, d_sh, cb_sh)
+    np.testing.assert_allclose(np.asarray(got_cb), np.asarray(want_cb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_counts),
+                               np.asarray(want_counts))
