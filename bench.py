@@ -37,17 +37,21 @@ def main():
     lpc = jnp.asarray(
         rng.randn(batch, frames, 16).astype(np.float32) * 0.05)
 
-    gen = jax.jit(pallas_generate)
+    # The timed quantity reduces the synthesised waveform to one scalar
+    # ON DEVICE: pulling the scalar forces every sample to be computed
+    # (the sum depends on all of them) without paying the development
+    # tunnel's ~30 MB/s device->host bandwidth for the 8 MB waveform,
+    # which otherwise dominates and is not part of the synthesis
+    # metric.  (block_until_ready alone returns early on this backend.)
+    gen = jax.jit(lambda p, f, pe, l, k: jnp.sum(
+        pallas_generate(p, f, pe, l, k)))
     key = jax.random.PRNGKey(1)
 
-    # compile + warm up.  NOTE: timing forces a host transfer
-    # (np.asarray); on the axon-tunneled backend block_until_ready
-    # returns before device work completes.
-    np.asarray(gen(params, feat, periods, lpc, key))
+    float(gen(params, feat, periods, lpc, key))  # compile + warm up
     times = []
-    for i in range(5):
+    for i in range(7):
         t0 = time.perf_counter()
-        np.asarray(gen(params, feat, periods, lpc, jax.random.PRNGKey(i)))
+        float(gen(params, feat, periods, lpc, jax.random.PRNGKey(i)))
         times.append(time.perf_counter() - t0)
     wall = min(times)
     rtf = batch * seconds / wall

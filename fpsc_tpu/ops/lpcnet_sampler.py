@@ -1,9 +1,11 @@
 """Fused Pallas TPU kernel for LPCNet autoregressive sampling.
 
-Why: the XLA lax.scan sampler spends ~23 us/step because the ~35 ops of
-the sample loop each pay HBM round-trips / fixed op overhead; the MXU
-work is only ~2 us.  This kernel fuses the ENTIRE sample step so all
-state and weights stay in VMEM.
+Why: the XLA lax.scan sampler costs ~10.3 us/step (the ~35 ops of the
+sample loop each pay HBM round-trips / op overhead).  This kernel fuses
+the ENTIRE sample step with all state and weights in VMEM: ~5.5 us/step
+at batch 128 on v5e = ~1460x aggregate real-time (speed-of-light-ish:
+the step is dependency-latency-bound, not MXU-rate-bound - bf16 vs f32
+weights differ by only ~2%).
 
 Layout: everything is FEATURE-MAJOR - batch lives on the 128-wide lane
 dimension (B=128 fills exactly one lane tile), features on sublanes.
