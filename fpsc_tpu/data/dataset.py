@@ -83,13 +83,15 @@ class Dataset:
     """Chunk-cropping batch sampler over a list of utterances."""
 
     def __init__(self, items: List[Utterance], chunks: int,
-                 task: str = "train", normalize: bool = True):
+                 task: str = "train", normalize: bool = True,
+                 qtz_pitch: bool = False):
         if not items:
             raise ValueError("empty dataset")
         self.items = items
         self.chunks = chunks
         self.task = task
         self.normalize = normalize
+        self.qtz_pitch = qtz_pitch
 
     def __len__(self) -> int:
         return len(self.items)
@@ -136,6 +138,8 @@ class Dataset:
             names.append(utt.name)
         x = np.stack(xs)                        # (B, chunks*2400)
         feat = np.stack(feats)                  # (B, chunks*15+4, 36)
+        if self.qtz_pitch:
+            feat = substitute_qtz_pitch(feat)
         return {"name": names, "x": x, "feat": feat,
                 "nm_feat": feat / C.MAXI}
 
@@ -148,6 +152,18 @@ class Dataset:
             yield self.gather(order[s:s + batch_size], rng)
 
 
+def substitute_qtz_pitch(feat: np.ndarray) -> np.ndarray:
+    """Replace the pitch columns by their round trip through the
+    transmitted pitch codes (the reference's quantised-pitch
+    substitution, dataset_orig.py:69-71, using our 8+3-bit codes)."""
+    from fpsc_tpu.codec.bitstream import dequantize_pitch, quantize_pitch
+    out = feat.copy()
+    flat = feat[..., 18:20].reshape(-1, 2)
+    out[..., 18:20] = dequantize_pitch(quantize_pitch(flat)).reshape(
+        feat[..., 18:20].shape)
+    return out
+
+
 def build_dataset(cfg: DataConfig, task: str = "train") -> Dataset:
     if cfg.synthetic:
         n = cfg.synthetic_utterances if task == "train" else max(
@@ -156,7 +172,8 @@ def build_dataset(cfg: DataConfig, task: str = "train") -> Dataset:
                                seed=cfg.seed, split=task)
     else:
         items = load_directory(cfg.root, task)
-    return Dataset(items, cfg.chunks, task, cfg.normalize)
+    return Dataset(items, cfg.chunks, task, cfg.normalize,
+                   qtz_pitch=cfg.qtz_pitch)
 
 
 def predictor_inputs(batch: Dict[str, np.ndarray],

@@ -1,0 +1,78 @@
+"""Dataset preparation CLI: audio -> .f32 feature dumps.
+
+Completes the L0->L1 toolchain in-framework (the reference needs
+external LPCNet `dump_data` + data_preprocess/write_small_files.py):
+
+    python -m fpsc_tpu.data.prepare <in_dir> <out_root> \
+        [--split train|val] [--backend jax|native]
+
+Scans <in_dir> recursively for .wav/.s16 audio, extracts 36-float
+feature rows with either the batched JAX frontend or the native C++
+extractor (bit-compatible pair, tests/test_native.py), and writes
+<out_root>/<split>/<name>.f32 next to a copy of the peak-normalised
+audio so fpsc_tpu.data.dataset.load_directory can consume them.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+from fpsc_tpu.data.f32 import write_f32
+
+
+def _load_audio(path: str) -> np.ndarray:
+    if path.endswith(".wav"):
+        import wave
+
+        with wave.open(path, "rb") as w:
+            assert w.getsampwidth() == 2, "expect 16-bit PCM"
+            raw = w.readframes(w.getnframes())
+        return np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    return np.fromfile(path, np.int16).astype(np.float32) / 32768.0
+
+
+def prepare(in_dir: str, out_root: str, split: str = "train",
+            backend: str = "jax") -> int:
+    if backend == "native":
+        from fpsc_tpu.data.native import extract_features_native as ext
+    else:
+        from fpsc_tpu.dsp.frontend import extract_features_np as ext
+
+    out_dir = os.path.join(out_root, split)
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(in_dir, "**", "*.wav"),
+                             recursive=True)
+                   + glob.glob(os.path.join(in_dir, "**", "*.s16"),
+                               recursive=True))
+    n = 0
+    for path in files:
+        name = os.path.splitext(os.path.basename(path))[0]
+        x = _load_audio(path)
+        x = x / max(np.abs(x).max(), 1e-10) * 0.999
+        frames = ext(x)
+        if frames.shape[0] == 0:
+            continue
+        write_f32(os.path.join(out_dir, name + ".f32"), frames)
+        (x * 32767).astype(np.int16).tofile(
+            os.path.join(out_dir, name + ".s16"))
+        n += 1
+    print(f"prepared {n} utterances -> {out_dir}")
+    return n
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("in_dir")
+    p.add_argument("out_root")
+    p.add_argument("--split", default="train")
+    p.add_argument("--backend", default="jax", choices=["jax", "native"])
+    a = p.parse_args(argv)
+    prepare(a.in_dir, a.out_root, a.split, a.backend)
+
+
+if __name__ == "__main__":
+    main()
