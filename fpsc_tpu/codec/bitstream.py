@@ -17,7 +17,7 @@ part of the stream).  Nominal rate at the reference configuration
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -9,7 +9,7 @@ fixed-width packing of fpsc_tpu.codec.bitstream.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ streaming path is bit-identical to the batch scan (tested).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ the in-framework TPU-native equivalent, sized per the paper's setup
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from fpsc_tpu.dsp import constants as C
 from fpsc_tpu.dsp.mulaw import l2u_index, u2l
 from fpsc_tpu.models.common import (DenseParams, EmbeddingParams, dense,
                                     embedding, init_dense, init_embedding)
-from fpsc_tpu.models.gru import GRUParams, gru_scan, gru_step, init_gru
+from fpsc_tpu.models.gru import GRUParams, gru_scan, init_gru
 
 
 @dataclass(frozen=True)

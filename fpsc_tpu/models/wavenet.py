@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from fpsc_tpu.dsp import constants as C
-from fpsc_tpu.dsp.gaussian import sample_from_gaussian
 from fpsc_tpu.models.common import (DenseParams, EmbeddingParams, dense,
                                     embedding, init_dense, init_embedding)
 
@@ -300,8 +299,7 @@ def generate_lpc(params: WavenetParams, cfg: WavenetConfig,
     def step(carry, xt):
         front_buf, layer_bufs, hist, prev_y = carry
         pred = -jnp.sum(hist * xt["lpc"], axis=-1)        # (B,)
-        x_in = pred * 0.0 + hist[:, -1]                   # x[t-1]
-        x_in = hist[:, -1][:, None]                       # (B, 1)
+        x_in = hist[:, -1][:, None]                       # x[t-1], (B, 1)
         window = jnp.concatenate(
             [front_buf, x_in[:, :, None]], axis=2)        # (B,1,K)
         h = jax.nn.relu(_conv_step(params.front, window))  # (B, rc)

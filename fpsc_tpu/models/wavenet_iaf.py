@@ -23,9 +23,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from fpsc_tpu.models.wavenet import (WavenetConfig, WavenetParams,
-                                     init_wnconv, init_resblock, conv1d,
-                                     resblock, dilations)
+from fpsc_tpu.models.wavenet import (WavenetConfig, init_wnconv,
+                                     init_resblock, conv1d, resblock,
+                                     dilations)
 
 
 @dataclass(frozen=True)

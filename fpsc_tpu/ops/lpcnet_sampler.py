@@ -45,7 +45,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fpsc_tpu.dsp import constants as C
-from fpsc_tpu.dsp.mulaw import u2l
 
 _LOG256 = float(np.log(256.0))
 _MU_SCALE = 255.0 / 32768.0

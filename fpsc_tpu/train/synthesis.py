@@ -22,7 +22,6 @@ from fpsc_tpu.config.config import Config, parse_cli
 from fpsc_tpu.data.dataset import build_dataset
 from fpsc_tpu.dsp import constants as C
 from fpsc_tpu.models import wavenet as wn
-from fpsc_tpu.parallel import mesh as meshlib
 from fpsc_tpu.train import checkpoint as ckpt
 from fpsc_tpu.train.train_lpcnet import vocoder_inputs
 from fpsc_tpu.train.train_vocoder import model_config

@@ -18,7 +18,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from fpsc_tpu.config.config import Config, parse_cli
