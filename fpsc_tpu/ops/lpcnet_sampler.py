@@ -18,9 +18,10 @@ Consequences:
   128-aligned),
 * GRU matmuls are W (3H, H) @ h (H, B) with every dimension a multiple
   of 128 (for the production GRU_A 384/1152),
-* the three mu-law embedding contributions are ONE (3H, 768) @ one-hot
-  (768, B) MXU matmul against precomputed embedding x input-weight
-  tables (TPU has no vector gather),
+* the three mu-law embeddings are gathered with (E, 256) @ one-hot
+  (256, B) matmuls (TPU has no vector gather) and hit the input weight
+  as one (3H, 3E) matmul - measured faster than the precomputed
+  (3H, 768) product-table formulation,
 * the sampling CDF is a log-step roll cumsum on the VPU; mu-law
   decode is a masked diff-row reduction.
 
@@ -59,13 +60,13 @@ def _l2u_rows(v):
 
 
 def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
-            tab_ref, tab_scale_ref, wh_a_ref, bh_a_ref, wi_b_ref,
+            emb_ref, wiemb_ref, wh_a_ref, bh_a_ref, wi_b_ref,
             wh_b_ref, bh_b_ref,
             fc1_ref, fc1b_ref, tri_ref, ones_ref,
             u2l_ref, out_ref,
             h_a_s, h_b_s, hist_s,
             *, ha: int, hb: int, levels: int, deemph: float,
-            u2l_base: float, acc_dtype, int8_embed: bool):
+            u2l_base: float, acc_dtype):
     f = pl.program_id(0)
     b = h_a_s.shape[1]
 
@@ -79,7 +80,6 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
     cond_b = cond_b_ref[0]          # (3Hb, B), input bias folded
     lpc_rev = lpc_ref[0]            # (16, B) f32, reversed coeff order
     temp = temp_ref[0]              # (1, B) f32 sharpening temperature
-    iota_emb = jax.lax.broadcasted_iota(jnp.int32, (3 * levels, b), 0)
 
     def gates(pre, gh, h, width):
         # exact f32 nonlinearities (bf16 and Pade-approx variants were
@@ -96,27 +96,21 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         ix = _l2u_rows(hist[15:16])
         ie = _l2u_rows(prev_e)
         ip = _l2u_rows(pred)
-        # One (3Ha, 768) @ one-hot (768, B) matmul against precomputed
-        # embedding x input-weight product tables.  (A smaller
-        # embedding-first variant - three (E, 256) gathers then one
-        # (3Ha, 3E) matmul - measures SLOWER: many small matmuls pay
-        # MXU pipeline overheads that one wide-K matmul amortises.)
-        oh_dtype = jnp.int8 if int8_embed else acc_dtype
-        onehot = ((iota_emb == ix.astype(jnp.int32)).astype(oh_dtype)
-                  + (iota_emb == ie.astype(jnp.int32) + levels
-                     ).astype(oh_dtype)
-                  + (iota_emb == ip.astype(jnp.int32) + 2 * levels
-                     ).astype(oh_dtype))                      # (768, B)
-        if int8_embed:
-            # int8 x int8 -> int32 on the MXU runs at 2x the bf16 rate;
-            # the table is per-row symmetric-quantised (the same 8-bit
-            # weight scheme LPCNet's C inference uses)
-            acc = jnp.dot(tab_ref[:], onehot,
-                          preferred_element_type=jnp.int32)
-            pre_a = acc.astype(jnp.float32) * tab_scale_ref[:] + cond_a
-        else:
-            pre_a = jnp.dot(tab_ref[:], onehot,
-                            preferred_element_type=jnp.float32) + cond_a
+        iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (levels, b), 0)
+        emb_t = emb_ref[:]
+        e_cat = jnp.concatenate([
+            jnp.dot(emb_t, (iota_lvl == ix.astype(jnp.int32)
+                            ).astype(acc_dtype),
+                    preferred_element_type=jnp.float32),
+            jnp.dot(emb_t, (iota_lvl == ie.astype(jnp.int32)
+                            ).astype(acc_dtype),
+                    preferred_element_type=jnp.float32),
+            jnp.dot(emb_t, (iota_lvl == ip.astype(jnp.int32)
+                            ).astype(acc_dtype),
+                    preferred_element_type=jnp.float32),
+        ], axis=0).astype(acc_dtype)                          # (3E, B)
+        pre_a = jnp.dot(wiemb_ref[:], e_cat,
+                        preferred_element_type=jnp.float32) + cond_a
         gh_a = jnp.dot(wh_a_ref[:], h_a.astype(acc_dtype),
                        preferred_element_type=jnp.float32) + bh_a_ref[:]
         h_a = gates(pre_a, gh_a, h_a, ha)
@@ -178,7 +172,6 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
                     corr: Optional[jax.Array] = None,
                     deemphasis: float = 0.85,
                     dtype=jnp.bfloat16,
-                    int8_embed=None,
                     interpret: bool = False) -> jax.Array:
     """Drop-in replacement for lpcnet.generate using the fused kernel.
 
@@ -197,12 +190,6 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     emb = params.sample_emb.table
     wi_a = params.gru_a.wi
     hp = jax.lax.Precision.HIGHEST
-    # (3Ha, 768): one column per (input-slot, mu-law level)
-    tab = jnp.concatenate([
-        jnp.matmul(wi_a[:, :e_dim], emb.T, precision=hp),
-        jnp.matmul(wi_a[:, e_dim:2 * e_dim], emb.T, precision=hp),
-        jnp.matmul(wi_a[:, 2 * e_dim:3 * e_dim], emb.T, precision=hp),
-    ], axis=1)
     cond_a = jnp.matmul(cond, wi_a[:, 3 * e_dim:].T,
                         precision=hp) + params.gru_a.bi    # (B, L, 3Ha)
     wi_b = params.gru_b.wi
@@ -249,21 +236,12 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
         (1, rows, b_pad), lambda f: (f, 0, 0), memory_space=pltpu.VMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    if int8_embed is None:
-        # int8 MXU would run the table matmul at 2x bf16 rate, but the
-        # current Mosaic rejects vector<i8> elementwise ops ("Only
-        # vector<i16> and vector<i32> are supported"); off by default.
-        int8_embed = False
-    if int8_embed:
-        tab_scale = jnp.max(jnp.abs(tab), axis=1, keepdims=True) / 127.0
-        tab_q = jnp.round(tab / tab_scale).astype(jnp.int8)
-    else:
-        tab_scale = jnp.ones((tab.shape[0], 1), jnp.float32)
-        tab_q = tab.astype(dtype)
+    emb_t_op = emb.T.astype(dtype)
+    wiemb_op = wi_a[:, :3 * e_dim].astype(dtype)
 
     kernel = functools.partial(
         _kernel, ha=ha, hb=hb, levels=levels, deemph=deemphasis,
-        u2l_base=u2l_base, acc_dtype=dtype, int8_embed=int8_embed)
+        u2l_base=u2l_base, acc_dtype=dtype)
 
     out = pl.pallas_call(
         kernel,
@@ -292,7 +270,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     )(
         cond_a_s.astype(dtype), cond_b_s.astype(dtype),
         lpc_rev, temps, uniforms,
-        tab_q, tab_scale,
+        emb_t_op, wiemb_op,
         params.gru_a.wh.astype(dtype),
         params.gru_a.bh[:, None],
         params.gru_b.wi[:, :ha].astype(dtype),
