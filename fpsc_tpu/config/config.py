@@ -106,6 +106,7 @@ class TrainConfig:
     scale_max: float = 100.0
     grad_clip: float = 10.0
     debugging: bool = False         # single-batch smoke mode
+    save_every: int = 1             # checkpoint every N epochs (+ last)
     save_dir: str = "runs"
     transfer_model: Optional[str] = None
     transfer_epoch: Optional[int] = None

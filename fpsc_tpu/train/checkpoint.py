@@ -17,7 +17,9 @@ import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # one device_get for the whole tree: per-leaf np.asarray costs a
+    # full host round trip each on the tunneled backend
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
 def save(path: str, params: Any, opt_state: Any = None, step: int = 0,

@@ -101,7 +101,9 @@ def run(cfg: Config):
         ckpt.log_epoch(cfg.train.save_dir, label, epoch,
                        time.time() - t0, total / max(n, 1), 0.0,
                        cfg.train.debugging)
-        if not cfg.train.debugging:
+        should_save = (epoch % max(cfg.train.save_every, 1) == 0
+                       or epoch == cfg.train.epochs - 1)
+        if not cfg.train.debugging and should_save:
             # save the (frame, sample) pair
             ckpt.save(ckpt.checkpoint_path(cfg.train.save_dir,
                                            label + "_f", epoch),

@@ -161,7 +161,9 @@ def run(cfg: Config) -> Tuple[fp.FramePredictorParams, float]:
         duration = time.time() - t0
         ckpt.log_epoch(save_dir, label, epoch, duration, train_loss,
                        val_loss, cfg.train.debugging)
-        if not cfg.train.debugging:
+        should_save = (epoch % max(cfg.train.save_every, 1) == 0
+                       or epoch == cfg.train.epochs - 1)
+        if not cfg.train.debugging and should_save:
             ckpt.save(ckpt.checkpoint_path(save_dir, label, epoch),
                       params, opt_state, step=epoch,
                       extra={"scale": scale})

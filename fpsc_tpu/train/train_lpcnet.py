@@ -160,7 +160,9 @@ def run(cfg: Config, data_dir: Optional[str] = None
         duration = time.time() - t0
         ckpt.log_epoch(cfg.train.save_dir, label, epoch, duration,
                        total / max(n, 1), 0.0, cfg.train.debugging)
-        if not cfg.train.debugging:
+        should_save = (epoch % max(cfg.train.save_every, 1) == 0
+                       or epoch == cfg.train.epochs - 1)
+        if not cfg.train.debugging and should_save:
             ckpt.save(ckpt.checkpoint_path(cfg.train.save_dir, label,
                                            epoch),
                       params, opt_state, step=epoch)

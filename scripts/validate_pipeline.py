@@ -27,7 +27,7 @@ def main(epochs: int = 60):
         "predictor.gru_units1=384", "predictor.gru_units2=128",
         f"train.epochs={epochs}", "train.learning_rate=0.001",
         "train.warmup_batches=10",     # all-teacher-forced epochs
-        "train.save_dir=/tmp/fpsc_validate",
+        "train.save_dir=/tmp/fpsc_validate", "train.save_every=20",
         "codec.vq_entries=256,128", "codec.vq_entries_bl=128",
         "codec.scl_entries=64", "codec.scl_entries_bl=16",
         "codec.codebook_path=/tmp/fpsc_validate/cb.npz",

@@ -29,7 +29,7 @@ def main(epochs: int = 150):
         "data.synthetic=true", "data.synthetic_utterances=24",
         "data.chunks=4", "data.batch_size=8",
         "train.learning_rate=0.001", f"train.epochs={epochs}",
-        "train.save_dir=/tmp/fpsc_voc",
+        "train.save_dir=/tmp/fpsc_voc", "train.save_every=50",
     ]
     cfg = Config(label=label)
     apply_overrides(cfg, overrides)

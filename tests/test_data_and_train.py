@@ -163,3 +163,51 @@ def test_qtz_pitch_substitution():
     p_qtz = np.floor(0.1 + 50 * batch["feat"][..., 18] + 100)
     np.testing.assert_array_equal(np.clip(p_raw, 32, 287), p_qtz)
     assert not np.array_equal(batch["feat"][..., 19], raw["feat"][..., 19])
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Saving params+opt_state and resuming must continue the exact
+    same optimisation trajectory (the reference loses Adam state)."""
+    import optax
+    from fpsc_tpu.models import frame_predictor as fp
+    from fpsc_tpu.train import checkpoint as ckpt
+
+    cfg = fp.FramePredictorConfig(gru_units1=12, gru_units2=8)
+    params = fp.init_frame_predictor(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray((rng.randn(2, 6, 20) * 0.3).astype(np.float32))
+
+    def loss_fn(p):
+        out, _, _ = fp.forward(p, feat)
+        return jnp.mean(jnp.square(out[:, :-1] - feat[:, 1:, :18]))
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    # two steps straight through
+    p1, s1, _ = step(params, opt_state)
+    p2_direct, _, l_direct = step(p1, s1)
+
+    # save after step 1, reload, continue
+    path = str(tmp_path / "ck.ckpt")
+    ckpt.save(path, p1, s1, step=1)
+    payload = ckpt.load(path)
+    p1r = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(p1),
+        [jnp.asarray(x) for x in jax.tree_util.tree_leaves(
+            payload["params"])])
+    s1r = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(s1),
+        [jnp.asarray(x) if hasattr(x, "shape") else x
+         for x in jax.tree_util.tree_leaves(payload["opt_state"])])
+    p2_resumed, _, l_resumed = step(p1r, s1r)
+    assert payload["step"] == 1
+    assert float(l_direct) == pytest.approx(float(l_resumed), abs=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(p2_direct),
+                    jax.tree_util.tree_leaves(p2_resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

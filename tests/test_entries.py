@@ -114,3 +114,20 @@ def test_frame_evaluation_entry(tmp_path):
     assert set(report) == {"spec", "spec_out", "adj_res_tr",
                            "adj_res_out", "residual"}
     assert all(np.isfinite(v) for v in report.values())
+
+
+def test_lpcnet_finetune_on_coded_features(tmp_path):
+    """The --quantize-style chain: train codebooks -> dump coded
+    features -> finetune the vocoder's frame net on them."""
+    from fpsc_tpu.train import train_cb, generate_qtz_features as gqf
+    from fpsc_tpu.train import train_lpcnet as tl
+    cfg = _tiny_cfg(tmp_path, [
+        "codec.vq_entries=8,8", "codec.vq_entries_bl=8",
+        "codec.scl_entries=8", "codec.scl_entries_bl=4",
+        f"codec.codebook_path={tmp_path}/cb.npz",
+        "train.upd_f_only=true",
+    ])
+    train_cb.run(cfg)
+    out = gqf.run(cfg, max_utterances=2, out_dir=str(tmp_path / "qtz"))
+    params, loss = tl.run(cfg, data_dir=out["out_dir"])
+    assert np.isfinite(loss)
