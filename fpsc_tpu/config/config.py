@@ -81,6 +81,11 @@ class LPCNetConfig:
     cond_units: int = 128
     frame_kernel: int = 3
     levels: int = 256               # mu-law levels
+    # GRU_A recurrent block sparsification (1.0 = dense); the cubic
+    # ramp runs between the two step counts (LPCNet training practice)
+    gru_a_density: float = 1.0
+    sparsify_start: int = 100
+    sparsify_end: int = 1000
 
 
 @dataclass

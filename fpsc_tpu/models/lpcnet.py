@@ -310,3 +310,67 @@ def generate(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
         frame_step, (h_a, h_b, x_hist, prev_e, prev_y), frame_xs)
     # ys: (L, 160, B) -> (B, T)
     return jnp.transpose(ys.reshape(t_total, b), (1, 0))
+
+
+# --------------------------------------------------------------------------
+# GRU_A recurrent-weight sparsification (LPCNet training practice)
+# --------------------------------------------------------------------------
+
+def gru_a_block_mask(wh: jax.Array, density: float,
+                     block=(16, 32)) -> jax.Array:
+    """Magnitude block mask for the recurrent matrix of GRU_A.
+
+    The production LPCNet sparsifies each gate's (H, H) recurrent
+    sub-matrix to ~10% density in small blocks, always keeping the
+    diagonal blocks; this is the TPU-shaped analogue with lane-aligned
+    blocks.  wh: (3H, H); returns a 0/1 mask of the same shape.
+    """
+    three_h, h = wh.shape
+    bm, bn = block
+    # shrink the block to the largest power-of-two divisor that fits,
+    # so small test models still get multiple column blocks
+    bm = min(bm, three_h)
+    while three_h % bm:
+        bm //= 2
+    bn = min(bn, h)
+    while h % bn:
+        bn //= 2
+    # ensure at least two column blocks so the forced diagonal does
+    # not saturate the density target
+    while h // bn < 2 and bn > 8:
+        bn //= 2
+    n_bm, n_bn = three_h // bm, h // bn
+    blocks = wh.reshape(n_bm, bm, n_bn, bn)
+    energy = jnp.sum(blocks * blocks, axis=(1, 3))      # (n_bm, n_bn)
+    # always keep the diagonal blocks of each gate
+    gate_rows = n_bm // 3
+    row_in_gate = jnp.arange(n_bm) % gate_rows
+    diag_col = (row_in_gate * bm) // bn
+    is_diag = (jnp.arange(n_bn)[None, :] == diag_col[:, None])
+    keep_n = max(1, int(round(density * n_bm * n_bn)))
+    flat = jnp.where(is_diag, jnp.inf, energy).reshape(-1)
+    thresh = jnp.sort(flat)[::-1][keep_n - 1]
+    keep = (jnp.where(is_diag, jnp.inf, energy) >= thresh) | is_diag
+    mask = jnp.broadcast_to(keep[:, None, :, None],
+                            (n_bm, bm, n_bn, bn))
+    return mask.reshape(three_h, h).astype(wh.dtype)
+
+
+def sparsify_gru_a(params: LPCNetParams, density: float,
+                   block=(16, 32)) -> LPCNetParams:
+    """Apply the magnitude block mask to GRU_A's recurrent weights."""
+    mask = gru_a_block_mask(params.gru_a.wh, density, block)
+    return params._replace(
+        gru_a=params.gru_a._replace(wh=params.gru_a.wh * mask))
+
+
+def sparsity_schedule(step: int, start: int, end: int,
+                      final_density: float) -> float:
+    """LPCNet-style cubic ramp from dense to final_density over
+    [start, end] training steps."""
+    if step <= start or final_density >= 1.0:
+        return 1.0
+    if step >= end:
+        return final_density
+    frac = (step - start) / max(end - start, 1)
+    return final_density + (1.0 - final_density) * (1.0 - frac) ** 3

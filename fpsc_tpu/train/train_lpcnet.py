@@ -141,6 +141,9 @@ def run(cfg: Config, data_dir: Optional[str] = None
 
     label = cfg.label + "_s"
     min_loss = float("inf")
+    global_step = 0
+    sparsify = jax.jit(lpcnet.sparsify_gru_a,
+                       static_argnames=("density", "block"))
     for epoch in range(cfg.train.epochs):
         t0 = time.time()
         total, n = 0.0, 0
@@ -151,6 +154,13 @@ def run(cfg: Config, data_dir: Optional[str] = None
             params, opt_state, loss = train_step(
                 params, opt_state, arrs["feat"], arrs["periods"],
                 arrs["x"], arrs["lpc"])
+            global_step += 1
+            if cfg.lpcnet.gru_a_density < 1.0:
+                d = lpcnet.sparsity_schedule(
+                    global_step, cfg.lpcnet.sparsify_start,
+                    cfg.lpcnet.sparsify_end, cfg.lpcnet.gru_a_density)
+                if d < 1.0:
+                    params = sparsify(params, density=round(d, 3))
             total += float(loss)
             n += 1
             if cfg.train.debugging or (

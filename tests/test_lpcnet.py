@@ -175,3 +175,51 @@ def test_upd_f_only_freezes_sample_net(tmp_path):
                                   np.asarray(params.gru_a.wi))
     assert not np.array_equal(np.asarray(new_params.conv1),
                               np.asarray(params.conv1))
+
+
+def test_gru_a_sparsification():
+    """Magnitude block pruning reaches the target density, keeps the
+    diagonal blocks, and the schedule ramps correctly."""
+    params = lpcnet.init_lpcnet(jax.random.PRNGKey(2), CFG)  # Ha=48
+    block = (16, 16)
+    density = 0.4
+    sp = lpcnet.sparsify_gru_a(params, density, block=block)
+    wh = np.asarray(sp.gru_a.wh)          # (144, 48)
+    blocks = wh.reshape(144 // 16, 16, 48 // 16, 16)
+    live = (np.abs(blocks).sum((1, 3)) > 0)
+    got_density = live.mean()
+    assert abs(got_density - density) < 0.15, got_density
+    # diagonal blocks of each gate survive
+    gate_rows = live.shape[0] // 3
+    for g in range(3):
+        for r in range(gate_rows):
+            col = (r * 16) // 16
+            assert live[g * gate_rows + r, col]
+    # schedule: dense before start, final after end, monotone between
+    s = lpcnet.sparsity_schedule
+    assert s(0, 100, 1000, 0.1) == 1.0
+    assert s(2000, 100, 1000, 0.1) == 0.1
+    mid = [s(t, 100, 1000, 0.1) for t in (200, 500, 900)]
+    assert mid[0] > mid[1] > mid[2]
+
+
+def test_train_lpcnet_sparsify_path(tmp_path):
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.train import train_lpcnet as tl
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.synthetic=true", "data.synthetic_utterances=2",
+        "data.chunks=1", "data.batch_size=2",
+        "lpcnet.gru_a_units=32", "lpcnet.gru_b_units=8",
+        "lpcnet.embed_dim=16", "lpcnet.cond_units=16",
+        "lpcnet.gru_a_density=0.5", "lpcnet.sparsify_start=0",
+        "lpcnet.sparsify_end=1",
+        "train.epochs=2", f"train.save_dir={tmp_path}",
+        "train.save_every=10",
+    ])
+    params, loss = tl.run(cfg)
+    assert np.isfinite(loss)
+    wh = np.asarray(params.gru_a.wh)
+    # (96, 32) with (16, 32)-clamped blocks -> some blocks zeroed
+    zero_frac = float((wh == 0).mean())
+    assert zero_frac > 0.2, zero_frac
