@@ -2,10 +2,10 @@
 
 Why: the XLA lax.scan sampler costs ~10.3 us/step (the ~35 ops of the
 sample loop each pay HBM round-trips / op overhead).  This kernel fuses
-the ENTIRE sample step with all state and weights in VMEM: ~5.5 us/step
-at batch 128 on v5e = ~1460x aggregate real-time (speed-of-light-ish:
-the step is dependency-latency-bound, not MXU-rate-bound - bf16 vs f32
-weights differ by only ~2%).
+the ENTIRE sample step with all state and weights in VMEM: 4.4 us/step
+at batch 128 on v5e = 1802x aggregate real-time (the step is
+dependency-latency-bound, not MXU-rate-bound - bf16 vs f32 weights
+differ by only ~2%).
 
 Layout: everything is FEATURE-MAJOR - batch lives on the 128-wide lane
 dimension (B=128 fills exactly one lane tile), features on sublanes.
@@ -62,8 +62,7 @@ def _l2u_rows(v):
 def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             emb_ref, wiemb_ref, wh_a_ref, bh_a_ref, wi_b_ref,
             wh_b_ref, bh_b_ref,
-            fc1_ref, fc1b_ref, tri_ref, ones_ref,
-            u2l_ref, out_ref,
+            fc1_ref, fc1b_ref, u2l_ref, out_ref,
             h_a_s, h_b_s, hist_s,
             *, ha: int, hb: int, levels: int, deemph: float,
             u2l_base: float, acc_dtype):
@@ -80,6 +79,7 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
     cond_b = cond_b_ref[0]          # (3Hb, B), input bias folded
     lpc_rev = lpc_ref[0]            # (16, B) f32, reversed coeff order
     temp = temp_ref[0]              # (1, B) f32 sharpening temperature
+    iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (levels, b), 0)
 
     def gates(pre, gh, h, width):
         # exact f32 nonlinearities (bf16 and Pade-approx variants were
@@ -96,7 +96,6 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         ix = _l2u_rows(hist[15:16])
         ie = _l2u_rows(prev_e)
         ip = _l2u_rows(pred)
-        iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (levels, b), 0)
         emb_t = emb_ref[:]
         e_cat = jnp.concatenate([
             jnp.dot(emb_t, (iota_lvl == ix.astype(jnp.int32)
@@ -139,7 +138,6 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         pcut = jnp.maximum(p - 0.002 * z, 0.0)
         cdf = pcut
         k = 1
-        iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (levels, b), 0)
         while k < levels:
             cdf = cdf + jnp.where(iota_lvl >= k, pltpu.roll(cdf, k, 0), 0.0)
             k *= 2
@@ -147,7 +145,7 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         u_t = u_ref[0, pl.ds(t, 1), :]                        # (1, B)
         thresh = u_t * total
         below = (cdf < thresh).astype(jnp.float32)            # (256, B)
-        e_lin = jnp.sum(below * u2l_ref[0:1].T, axis=0,
+        e_lin = jnp.sum(below * u2l_ref[:], axis=0,
                         keepdims=True) + u2l_base
         sample = pred + e_lin
         hist = jnp.concatenate([hist[1:], sample], axis=0)
@@ -224,11 +222,9 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     _u = np.arange(levels, dtype=np.float64) - 128.0
     u2l_vals = (np.sign(_u) * (32768.0 / 255.0)
                 * (np.exp(np.abs(_u) / 128.0 * _LOG256) - 1.0)) / 32768.0
-    u2l_row = jnp.asarray(np.concatenate(
-        [u2l_vals[1:] - u2l_vals[:-1], [0.0]])[None, :], jnp.float32)
+    u2l_col = jnp.asarray(np.concatenate(
+        [u2l_vals[1:] - u2l_vals[:-1], [0.0]])[:, None], jnp.float32)
     u2l_base = float(u2l_vals[0])
-    tri = jnp.tril(jnp.ones((levels, levels), jnp.float32))
-    ones_rows = jnp.ones((8, levels), jnp.float32)
     fc_w = jnp.concatenate([params.fc1.w, params.fc2.w], axis=0)
     fc_b = jnp.concatenate([params.fc1.b, params.fc2.b])[:, None]
 
@@ -252,9 +248,9 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
             frame_spec(16),            # lpc
             frame_spec(1),             # temp
             frame_spec(C.FRAME_SIZE),  # uniforms
-            vmem, vmem, vmem, vmem,    # tab tab_scale wh_a bh_a
+            vmem, vmem, vmem, vmem,    # emb_t wi_emb wh_a bh_a
             vmem, vmem, vmem,          # wi_b wh_b bh_b
-            vmem, vmem, vmem, vmem, vmem,  # fc b tri 1s u2l
+            vmem, vmem, vmem,          # fc_w fc_b u2l
         ],
         out_specs=frame_spec(C.FRAME_SIZE),
         out_shape=jax.ShapeDtypeStruct(
@@ -276,7 +272,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
         params.gru_b.wi[:, :ha].astype(dtype),
         params.gru_b.wh.astype(dtype), params.gru_b.bh[:, None],
         fc_w.astype(dtype), fc_b,
-        tri, ones_rows, u2l_row,
+        u2l_col,
     )
     # (L, 160, B) -> (B, T)
     y = out[:, :, :b].reshape(length * C.FRAME_SIZE, b)
