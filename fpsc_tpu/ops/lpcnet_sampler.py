@@ -65,7 +65,8 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             fc1_ref, fc1b_ref, u2l_ref, out_ref,
             h_a_s, h_b_s, hist_s,
             *, ha: int, hb: int, levels: int, deemph: float,
-            u2l_base: float, acc_dtype):
+            u2l_base: float, acc_dtype, gru_a_pattern=None,
+            sparse_block=(128, 128)):
     f = pl.program_id(0)
     b = h_a_s.shape[1]
 
@@ -110,8 +111,27 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         ], axis=0).astype(acc_dtype)                          # (3E, B)
         pre_a = jnp.dot(wiemb_ref[:], e_cat,
                         preferred_element_type=jnp.float32) + cond_a
-        gh_a = jnp.dot(wh_a_ref[:], h_a.astype(acc_dtype),
-                       preferred_element_type=jnp.float32) + bh_a_ref[:]
+        if gru_a_pattern is None:
+            gh_a = jnp.dot(wh_a_ref[:], h_a.astype(acc_dtype),
+                           preferred_element_type=jnp.float32)
+        else:
+            # static block-sparse recurrent matmul: only the live
+            # (rb, cb) blocks of W_h are computed (the pattern comes
+            # from lpcnet.sparsify_gru_a-style training)
+            rb_sz, cb_sz = sparse_block
+            h16 = h_a.astype(acc_dtype)
+            rows = []
+            for rb, cols in enumerate(gru_a_pattern):
+                acc = jnp.zeros((rb_sz, b), jnp.float32)
+                for cb in cols:
+                    w_blk = wh_a_ref[rb * rb_sz:(rb + 1) * rb_sz,
+                                     cb * cb_sz:(cb + 1) * cb_sz]
+                    acc = acc + jnp.dot(
+                        w_blk, h16[cb * cb_sz:(cb + 1) * cb_sz],
+                        preferred_element_type=jnp.float32)
+                rows.append(acc)
+            gh_a = jnp.concatenate(rows, axis=0)
+        gh_a = gh_a + bh_a_ref[:]
         h_a = gates(pre_a, gh_a, h_a, ha)
 
         pre_b = jnp.dot(wi_b_ref[:], h_a.astype(acc_dtype),
@@ -165,15 +185,46 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
     hist_s[17:18] = prev_y
 
 
+def derive_block_pattern(wh, block=(128, 128)):
+    """Static live-block pattern of a (3H, H) recurrent matrix.
+
+    Returns (pattern, block) where pattern[rb] is the tuple of live
+    column-block indices for row-block rb.  Block dims shrink to the
+    largest power-of-two divisors that fit the matrix.
+    """
+    wh = np.asarray(wh)
+    three_h, h = wh.shape
+    rb_sz, cb_sz = block
+    rb_sz = min(rb_sz, three_h)
+    while three_h % rb_sz:
+        rb_sz //= 2
+    cb_sz = min(cb_sz, h)
+    while h % cb_sz:
+        cb_sz //= 2
+    blocks = wh.reshape(three_h // rb_sz, rb_sz, h // cb_sz, cb_sz)
+    live = np.abs(blocks).sum((1, 3)) > 0
+    pattern = tuple(tuple(int(c) for c in np.nonzero(row)[0])
+                    for row in live)
+    return pattern, (rb_sz, cb_sz)
+
+
 def pallas_generate(params, feat: jax.Array, periods: jax.Array,
                     lpc: jax.Array, key: jax.Array,
                     corr: Optional[jax.Array] = None,
                     deemphasis: float = 0.85,
                     dtype=jnp.bfloat16,
+                    gru_a_pattern=None,
                     interpret: bool = False) -> jax.Array:
     """Drop-in replacement for lpcnet.generate using the fused kernel.
 
     feat (B, L, 20), periods (B, L) int, lpc (B, L, 16) -> (B, L*160).
+
+    gru_a_pattern: optional (pattern, (rb, cb)) from
+    derive_block_pattern(params.gru_a.wh) - the static live-block map
+    of GRU_A's recurrent matrix (produced by lpcnet.sparsify_gru_a
+    training); the kernel then skips the dead blocks' MXU work.  Must
+    be derived OUTSIDE jit (it inspects concrete weights) and passed
+    in; it is a static compile-time argument.
     """
     from fpsc_tpu.models.lpcnet import frame_net
 
@@ -235,9 +286,15 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     emb_t_op = emb.T.astype(dtype)
     wiemb_op = wi_a[:, :3 * e_dim].astype(dtype)
 
+    if gru_a_pattern is not None:
+        pattern, sparse_block = gru_a_pattern
+    else:
+        pattern, sparse_block = None, (128, 128)
+
     kernel = functools.partial(
         _kernel, ha=ha, hb=hb, levels=levels, deemph=deemphasis,
-        u2l_base=u2l_base, acc_dtype=dtype)
+        u2l_base=u2l_base, acc_dtype=dtype,
+        gru_a_pattern=pattern, sparse_block=sparse_block)
 
     out = pl.pallas_call(
         kernel,
