@@ -128,18 +128,22 @@ class StreamingVocoder:
         def frame_step(state, key, coded_row):
             h_a, h_b, hist, prev_e, prev_y = state
             feat = coded_row[None, None, :20]
-            period = (0.1 + 50.0 * coded_row[18] + 100.0
+            # coded_row is MAXI-normalised; the period formula and the
+            # sampling sharpening operate on RAW-scale pitch features
+            # (reference src/train.py:123 and :79-92), matching the
+            # batch path (train_lpcnet.vocoder_inputs).
+            period = (0.1 + 50.0 * coded_row[18] * C.MAXI + 100.0
                       ).astype(jnp.int32)[None, None]
             cond = lpcnet.frame_net(params, feat, period)[0, 0]  # (cond,)
             from fpsc_tpu.dsp.ceps2lpc import ceps2lpc
             _, lpc, _ = ceps2lpc(coded_row[None, :18] * C.MAXI)
             lpc_rev = lpc[0, ::-1]
-            corr = coded_row[19]
+            corr = jnp.clip(coded_row[19] * C.MAXI, -0.5, 0.5)
             uniforms = jax.random.uniform(key, (C.FRAME_SIZE, 1, 1))
             emb = params.sample_emb.table
             from fpsc_tpu.dsp.mulaw import l2u_index, u2l
             u2l_table = u2l(jnp.arange(256)) / 32768.0
-            gamma = jnp.clip(1.5 * corr - 0.5, 0.0, 1.5)
+            gamma = jnp.maximum(1.5 * corr - 0.5, 0.0)
 
             def sample_step(carry, u):
                 h_a, h_b, hist, prev_e, prev_y = carry

@@ -142,12 +142,33 @@ def forward(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
     return _logits(params, yb)
 
 
-def loss_fn(params: LPCNetParams, feat, periods, x, lpc) -> jax.Array:
-    """Cross-entropy on next-sample mu-law excitation (teacher forced)."""
+def teacher_streams(x: jax.Array, lpc: jax.Array):
+    """Teacher-forcing streams: (exc, pred_t), both (B, T).
+
+    pred_t[t] is the LPC prediction of x[t] from PAST samples only
+    (x[t-1..t-16]) and exc[t] = x[t] - pred_t[t]; pred_t[t] therefore
+    never depends on x[>= t] (no target leakage), matching what
+    generate() computes from its sample history at each step."""
     from fpsc_tpu.dsp.lpc import lpc_pred
     pred = lpc_pred(x, lpc)
-    exc = x - jnp.roll(pred, 1, axis=-1).at[:, 0].set(0.0)
-    logits = forward(params, feat, periods, x, exc, pred)
+    pred_t = jnp.roll(pred, 1, axis=-1).at[:, 0].set(0.0)
+    return x - pred_t, pred_t
+
+
+def loss_fn(params: LPCNetParams, feat, periods, x, lpc) -> jax.Array:
+    """Cross-entropy on next-sample mu-law excitation (teacher forced).
+
+    lpc_pred's raw output at t is the prediction of x[t+1] (it includes
+    the x[t] term); the network input at step t must instead carry the
+    prediction of x[t] from PAST samples only — exactly what generate()
+    computes from its sample history — so the prediction stream is
+    rolled by one before entering sample_inputs.  Feeding the unrolled
+    stream would leak a1*x[t] into the input whose target is
+    exc[t] = x[t] - pred[t-1] (reference keeps the same alignment,
+    src/train.py:125-139).
+    """
+    exc, pred_t = teacher_streams(x, lpc)
+    logits = forward(params, feat, periods, x, exc, pred_t)
     # target: excitation at t given inputs up to t (16-bit mu-law code)
     target = l2u_index(exc * 32768.0)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -195,8 +216,17 @@ def generate(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
              unroll: int = 8) -> jax.Array:
     """Batched autoregressive synthesis.
 
-    feat: (B, L, 20); periods: (B, L) int; lpc: (B, L, 16) per-frame
-    coefficients; returns (B, L*160) waveform (after de-emphasis).
+    feat: (B, L, 20) MAXI-normalised features (the vocoder's training
+    convention, see train_lpcnet.vocoder_inputs); periods: (B, L) int;
+    lpc: (B, L, 16) per-frame coefficients; returns (B, L*160)
+    waveform (after de-emphasis).
+
+    corr must be the RAW-scale pitch correlation (range ~[-0.5, 0.5])
+    — the reference applies its sampling sharpening to raw corr
+    (src/train.py:79-92).  The default un-normalises feat[..., 19] by
+    MAXI and clips to the physical correlation range [-0.5, 0.5]
+    (keeping gamma <= 0.25 as on real data); pass corr explicitly when
+    feat is not MAXI-normalised.
 
     One lax.scan over T = L*160 steps; carry = (h_a, h_b, x_hist(16),
     prev_exc, prev_out).  Speed-of-light design notes:
@@ -217,7 +247,8 @@ def generate(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
     b, length, _ = feat.shape
     t_total = length * C.FRAME_SIZE
     cond = frame_net(params, feat, periods)               # (B, L, 128)
-    corr = feat[..., 19] if corr is None else corr
+    if corr is None:
+        corr = jnp.clip(feat[..., 19] * C.MAXI, -0.5, 0.5)
 
     emb = params.sample_emb.table                         # (256, E)
     e_dim = emb.shape[1]
@@ -290,10 +321,25 @@ def generate(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
                 fx["cond_b"]
             h_b = _gates(pre_b, h_b, params.gru_b.wh, params.gru_b.bh)
             logits = _logits(params, h_b)
-            p = jax.nn.softmax(logits * temp, axis=-1)
-            p = jnp.maximum(p - 0.002, 0.0)
-            cdf = jnp.cumsum(p, axis=-1)
-            thresh = u * cdf[:, -1:]                 # renorm via scaled u
+            # Sampling arithmetic mirrors the Pallas kernel EXACTLY
+            # (ops and order) so the two samplers make bit-identical
+            # sampling decisions: unnormalised exp (logits in [-2, 2],
+            # temp <= 1.25 -> no overflow; max-subtraction skipped),
+            # tail cut scaled by Z instead of normalising
+            # (max(p/Z - c, 0) has the same argcdf as max(p - c*Z, 0)),
+            # Hillis-Steele log-step prefix sum, separate total.
+            p = jnp.exp(logits * temp)
+            z = jnp.sum(p, axis=-1, keepdims=True)
+            pcut = jnp.maximum(p - 0.002 * z, 0.0)
+            n_lvl = pcut.shape[-1]
+            cdf = pcut
+            k = 1
+            while k < n_lvl:
+                cdf = cdf + jnp.where(jnp.arange(n_lvl) >= k,
+                                      jnp.roll(cdf, k, axis=-1), 0.0)
+                k *= 2
+            total = cdf[:, -1:]   # last prefix-sum element, as in kernel
+            thresh = u * total                       # renorm via scaled u
             e_idx = jnp.sum((cdf < thresh).astype(jnp.int32), axis=-1)
             e_lin = u2l_table[e_idx]
             sample = pred + e_lin

@@ -161,7 +161,10 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         while k < levels:
             cdf = cdf + jnp.where(iota_lvl >= k, pltpu.roll(cdf, k, 0), 0.0)
             k *= 2
-        total = jnp.sum(pcut, axis=0, keepdims=True)
+        # total = last prefix-sum row (NOT a separate reduction): keeps
+        # the cdf < u*total decision scale-coherent with cdf, so both
+        # samplers flip identically; also one fewer reduction per step.
+        total = cdf[levels - 1:levels]
         u_t = u_ref[0, pl.ds(t, 1), :]                        # (1, B)
         thresh = u_t * total
         below = (cdf < thresh).astype(jnp.float32)            # (256, B)
@@ -225,6 +228,10 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     training); the kernel then skips the dead blocks' MXU work.  Must
     be derived OUTSIDE jit (it inspects concrete weights) and passed
     in; it is a static compile-time argument.
+
+    corr semantics match lpcnet.generate: RAW-scale pitch correlation;
+    the default un-normalises feat[..., 19] by MAXI (feat is expected
+    MAXI-normalised per the vocoder training convention).
     """
     from fpsc_tpu.models.lpcnet import frame_net
 
@@ -233,7 +240,10 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     ha = params.gru_a.units
     hb = params.gru_b.units
     e_dim = params.sample_emb.table.shape[1]
-    corr = feat[..., 19] if corr is None else corr
+    if corr is None:
+        # raw-scale corr, clipped to the physical correlation range
+        # (keeps temp <= 1.25: the kernel's exp-overflow-skip bound)
+        corr = jnp.clip(feat[..., 19] * C.MAXI, -0.5, 0.5)
 
     cond = frame_net(params, feat, periods)
     emb = params.sample_emb.table
@@ -261,7 +271,8 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     if b != b_pad:
         uniforms = jnp.pad(uniforms, ((0, 0), (0, 0), (0, b_pad - b)))
 
-    gamma = jnp.clip(1.5 * corr - 0.5, 0.0, 1.5)
+    # no upper clamp: reference src/train.py:81 (matches lpcnet.generate)
+    gamma = jnp.maximum(1.5 * corr - 0.5, 0.0)
     temps = to_fmajor((1.0 + gamma)[..., None])
     lpc_rev = to_fmajor(lpc[..., ::-1])
     cond_a_s = to_fmajor(cond_a)

@@ -72,24 +72,31 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
         # --- transmit chain: encode -> pack -> unpack -> decode ---
         enc = encode(frame_params, codebooks, feat,
                      l1=cfg.codec.l1, l2=cfg.codec.l2)
+        # quantize_pitch's 8-bit period / 3-bit corr codes are defined
+        # on the RAW feature scale (period = 0.1 + 50*p + 100,
+        # reference src/train.py:123); feat here is MAXI-normalised,
+        # so un-normalise before packing and re-normalise the unpacked
+        # pitch before handing it back to the (normalised-domain)
+        # decoder.
+        scale = C.MAXI if cfg.data.normalize else 1.0
         packed = bs.pack_utterance(
             np.asarray(enc["ind1"])[0], np.asarray(enc["ind2"])[0],
             {k: np.asarray(v)[0] for k, v in enc["indices"].items()},
-            np.asarray(feat)[0, :, 18:], sizes)
+            np.asarray(feat)[0, :, 18:] * scale, sizes)
         got = bs.unpack_utterance(packed, sizes)
         coded = decode(frame_params, codebooks,
                        jnp.asarray(got["ind1"][None]),
                        jnp.asarray(got["ind2"][None]),
                        {k: jnp.asarray(v[None])
                         for k, v in got["indices"].items()},
-                       jnp.asarray(got["pitch"][None]))
+                       jnp.asarray(got["pitch"][None]) / scale)
 
         # coded-feature windows for interchange (reference dump format)
         windows = coded_feature_windows(coded)[0]
         np.save(os.path.join(out_dir, f"{name}_features.npy"), windows)
 
         # --- vocoder synthesis from the DECODED features only ---
-        coded_un = np.asarray(coded) * C.MAXI
+        coded_un = np.asarray(coded) * scale
         periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
                    ).astype(np.int32)
         _, lpc, _ = ceps2lpc(jnp.asarray(
@@ -98,7 +105,8 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
         gen = pallas_generate if use_pallas else lpcnet.generate
         y = np.asarray(gen(
             vocoder_params, coded, jnp.asarray(periods),
-            jnp.asarray(lpc), jax.random.PRNGKey(ns)))
+            jnp.asarray(lpc), jax.random.PRNGKey(ns),
+            corr=jnp.asarray(coded_un[..., 19])))
         save_wav(os.path.join(out_dir, f"{name}_truth.wav"),
                  batch["x"][0])
         save_wav(os.path.join(out_dir, f"{name}_dec.wav"), y[0])

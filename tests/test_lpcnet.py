@@ -77,7 +77,10 @@ def test_generate_scan_matches_python_loop(model):
                                        jnp.asarray(periods)))
     cond_up = np.repeat(cond, C.FRAME_SIZE, axis=1)
     lpc_up = np.repeat(lpc, C.FRAME_SIZE, axis=1)
-    corr_up = np.repeat(feat[..., 19], C.FRAME_SIZE, axis=1)
+    # generate()'s default corr: un-normalise by MAXI, clip to the
+    # physical correlation range
+    corr_up = np.repeat(np.clip(feat[..., 19] * C.MAXI, -0.5, 0.5),
+                        C.FRAME_SIZE, axis=1)
     uniforms = np.asarray(jax.random.uniform(
         key, (2, b, C.FRAME_SIZE))).transpose(0, 2, 1).reshape(
         t_total, b, 1)
@@ -116,6 +119,28 @@ def test_generate_scan_matches_python_loop(model):
         prev_e = e_lin.astype(np.float32)
         prev_y = y.astype(np.float32)
     np.testing.assert_allclose(got, out, rtol=1e-4, atol=1e-5)
+
+
+def test_teacher_streams_no_target_leakage():
+    """Regression (round-1 advisor high): the pred input at step t must
+    be the prediction of x[t] from PAST samples only — the unrolled
+    lpc_pred output leaked a1*x[t] into the input whose target is
+    exc[t].  Perturbing x[t0:] must leave (exc, pred_t)[:t0] AND
+    pred_t[t0] itself unchanged; and x == pred_t + exc identically."""
+    import jax.numpy as jnp
+    feat, periods, x, lpc = _fake_batch(b=1, frames=2)
+    exc, pred_t = lpcnet.teacher_streams(jnp.asarray(x), jnp.asarray(lpc))
+    np.testing.assert_allclose(np.asarray(pred_t) + np.asarray(exc), x,
+                               rtol=1e-5, atol=1e-7)
+    t0 = 100
+    x2 = x.copy()
+    x2[:, t0:] += 0.5
+    exc2, pred_t2 = lpcnet.teacher_streams(jnp.asarray(x2),
+                                           jnp.asarray(lpc))
+    np.testing.assert_array_equal(np.asarray(pred_t)[:, :t0 + 1],
+                                  np.asarray(pred_t2)[:, :t0 + 1])
+    np.testing.assert_array_equal(np.asarray(exc)[:, :t0],
+                                  np.asarray(exc2)[:, :t0])
 
 
 def test_generate_output_sane(model):
