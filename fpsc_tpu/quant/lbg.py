@@ -154,32 +154,67 @@ def vq_train(data: jax.Array, nb_entries: int,
       (cb_func.py:41), enabling bit-reproduction of its codebooks;
       runs one dispatch per update (slow over a tunneled device).
     """
-    data = jnp.asarray(data, jnp.float32)
     if not compat and rng is None:
-        return _lbg_fused(data, jax.random.PRNGKey(seed), int(nb_entries),
+        return _lbg_fused(jnp.asarray(data, jnp.float32),
+                          jax.random.PRNGKey(seed), int(nb_entries),
                           inner_updates, final_updates)
 
     rng = rng or np.random.RandomState(seed)
+    cb = _vq_train_np(np.asarray(data), int(nb_entries), rng,
+                      inner_updates, final_updates, verbose)
+    return jnp.asarray(cb, jnp.float32)
+
+
+def _find_nearest_np(data: np.ndarray, codebook: np.ndarray) -> np.ndarray:
+    """Reference cb_func.find_nearest arithmetic, chunked over rows."""
+    out = np.empty(data.shape[0], np.int64)
+    step = max(1, (1 << 22) // max(codebook.size, 1))
+    for i in range(0, data.shape[0], step):
+        d = np.sum((data[None, i:i + step] - codebook[:, None]) ** 2, -1)
+        out[i:i + step] = np.argmin(d, 0)
+    return out
+
+
+def _update_np(data: np.ndarray, codebook: np.ndarray, e: int,
+               verbose: bool = False) -> np.ndarray:
+    """Reference cb_func.update arithmetic in float64 (empty cells
+    become sum 0 / 1e-20 = the zero vector)."""
+    idx = _find_nearest_np(data, codebook)
+    count = np.zeros((e, 1))
+    new_cb = np.zeros((e, data.shape[1]))
+    np.add.at(count, idx, 1.0)
+    np.add.at(new_cb, idx, data)
+    new_cb /= count + 1e-20
+    if verbose:
+        w2 = float(np.sum((count / data.shape[0]) ** 2))
+        print(f"{e} - min: {count.min()}, max: {count.max()}, "
+              f"small: {int((count == 0).sum())}, error: {w2}")
+    return new_cb
+
+
+def _vq_train_np(data: np.ndarray, nb_entries: int,
+                 rng: np.random.RandomState, inner_updates: int,
+                 final_updates: int, verbose: bool) -> np.ndarray:
+    """Reference cb_func.vq_train, arithmetic-exact (float64 codebook,
+    identical perturbation draw order): the compat path's contract is
+    bit-reproduction of the reference's codebooks given the same seed,
+    which the on-device f32 trainer cannot honour (the 1e-4 split
+    perturbations sit below f32 matmul-expansion cancellation noise, so
+    assignments between split twins - and hence the whole grow
+    trajectory - diverge).  Runs on host; use the fused trainer for
+    production."""
     ndims = data.shape[1]
-    codebook = jnp.zeros((nb_entries, ndims), jnp.float32)
-    codebook = codebook.at[0].set(jnp.mean(data, axis=0))
-
-    for e in range(1, nb_entries):
-        codebook = codebook.at[e].set(codebook[0])
-        delta = jnp.asarray(
-            0.001 * (rng.rand(e, ndims) / 2.0), jnp.float32)
-        codebook = codebook.at[:e].add(delta)
-        n_active = jnp.asarray(e + 1)
+    codebook = np.zeros((nb_entries, ndims))
+    codebook[0] = np.mean(data, 0)
+    e = 1
+    while e < nb_entries:
+        codebook[e, :] = codebook[0, :]
+        codebook[:e, :] += 0.001 * (rng.rand(e, ndims) / 2.0)
+        e += 1
         for _ in range(inner_updates):
-            codebook, _ = kmeans_update(data, codebook, n_active)
-
+            codebook[:e, :] = _update_np(data, codebook[:e, :], e)
     for _ in range(final_updates):
-        codebook, counts = kmeans_update(
-            data, codebook, jnp.asarray(nb_entries))
-        if verbose:
-            c = np.asarray(counts)
-            print(f"{nb_entries} - min: {c.min()}, max: {c.max()}, "
-                  f"small: {int((c == 0).sum())}")
+        codebook = _update_np(data, codebook, nb_entries, verbose)
     return codebook
 
 
@@ -195,12 +230,23 @@ def train_multistage(data, n_entries, rng=None, verbose=False, seed=0):
     semantics: r <- quantize(cb, r) - r after each stage).
 
     rng=None uses the fused on-device trainer; passing a numpy
-    RandomState selects the reference-compatible slow path.
+    RandomState selects the reference-compatible host path (the whole
+    chain - including the r <- qr - r residuals - then runs in the
+    reference's float64 numpy arithmetic so the books it produces are
+    bit-reproductions at f32 output precision).
     """
-    r = jnp.asarray(data, jnp.float32)
     books = []
+    if rng is not None:
+        r = np.asarray(data)
+        for e in n_entries:
+            cb = _vq_train_np(r, int(e), rng, 4, 10, verbose)
+            books.append(jnp.asarray(cb, jnp.float32))
+            qr = cb[_find_nearest_np(r, cb)]
+            r = qr - r
+        return books
+    r = jnp.asarray(data, jnp.float32)
     for s, e in enumerate(n_entries):
-        cb = vq_train(r, e, rng=rng, verbose=verbose, seed=seed + s)
+        cb = vq_train(r, e, verbose=verbose, seed=seed + s)
         books.append(cb)
         qr = quantize(cb, r)
         r = qr - r
