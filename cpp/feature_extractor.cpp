@@ -209,14 +209,21 @@ extern "C" {
 
 // x: n_samples floats in [-1, 1].  features: caller-allocated
 // (n_frames x 36).  Returns n_frames = n_samples/160 - 1 (clamped >=0).
+// Pre-emphasises internally (y[n] = x[n] - 0.85 x[n-1], LPCNet
+// dump_data semantics) so the analysis domain matches the vocoder's
+// synthesis-side de-emphasis; identical to the JAX frontend
+// (fpsc_tpu/dsp/frontend.py, fpsc_tpu/dsp/emphasis.py).
 int fe_extract_features(const float* x, int n_samples, float* features) {
   int n_frames = n_samples / kFrameSize - 1;
   if (n_frames < 0) n_frames = 0;
   std::vector<float> pad(kPitchMax + n_samples, 0.0f);
-  std::memcpy(&pad[kPitchMax], x, sizeof(float) * n_samples);
+  constexpr float kPreemph = 0.85f;
+  for (int i = 0; i < n_samples; ++i)
+    pad[kPitchMax + i] = i ? x[i] - kPreemph * x[i - 1] : x[0];
+  const float* s = &pad[kPitchMax];
   for (int t = 0; t < n_frames; ++t) {
     float* row = features + (size_t)t * kNbFeatures;
-    frame_cepstra(x + t * kFrameSize, row);
+    frame_cepstra(s + t * kFrameSize, row);
     pitch_features(pad, t, row + kNbBands);
     ceps_to_lpc(row, row + kNbBands + 2);
   }

@@ -69,12 +69,13 @@ def load_directory(root: str, split: str) -> List[Utterance]:
 
 
 def make_synthetic(n: int, chunks_each: int = 12, seed: int = 0,
-                   split: str = "train") -> List[Utterance]:
+                   split: str = "train",
+                   style: str = "harmonic") -> List[Utterance]:
     from fpsc_tpu.data.synthetic import synth_utterance
     base = seed * 100003 + (0 if split == "train" else 50021)
     items = []
     for i in range(n):
-        wav, windows = synth_utterance(base + i, chunks_each)
+        wav, windows = synth_utterance(base + i, chunks_each, style=style)
         items.append(Utterance(f"syn-{split}-{i:04d}", wav, windows))
     return items
 
@@ -169,7 +170,8 @@ def build_dataset(cfg: DataConfig, task: str = "train") -> Dataset:
         n = cfg.synthetic_utterances if task == "train" else max(
             2, cfg.synthetic_utterances // 4)
         items = make_synthetic(n, chunks_each=max(cfg.chunks, 12),
-                               seed=cfg.seed, split=task)
+                               seed=cfg.seed, split=task,
+                               style=cfg.synthetic_style)
     else:
         items = load_directory(cfg.root, task)
     return Dataset(items, cfg.chunks, task, cfg.normalize,

@@ -47,6 +47,8 @@ def prepare(in_dir: str, out_root: str, split: str = "train",
                              recursive=True)
                    + glob.glob(os.path.join(in_dir, "**", "*.s16"),
                                recursive=True))
+    from fpsc_tpu.dsp.emphasis import preemphasis
+
     n = 0
     for path in files:
         name = os.path.splitext(os.path.basename(path))[0]
@@ -56,7 +58,10 @@ def prepare(in_dir: str, out_root: str, split: str = "train",
         if frames.shape[0] == 0:
             continue
         write_f32(os.path.join(out_dir, name + ".f32"), frames)
-        (x * 32767).astype(np.int16).tofile(
+        # store PRE-EMPHASISED PCM (dump_data semantics): features and
+        # training waveforms live in the same analysis domain; the
+        # vocoder's synthesis-side de-emphasis inverts it
+        (preemphasis(x) * 32767).astype(np.int16).tofile(
             os.path.join(out_dir, name + ".s16"))
         n += 1
     print(f"prepared {n} utterances -> {out_dir}")

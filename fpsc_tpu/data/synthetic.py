@@ -29,6 +29,160 @@ def synth_waveform(rng: np.random.RandomState, n_samples: int) -> np.ndarray:
     return x.astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Speech-realistic fixture ("speech" style)
+# ---------------------------------------------------------------------------
+#
+# Real recordings are unobtainable in this environment (zero egress, no
+# bundled corpora), so this generator reproduces the spectro-temporal
+# STRUCTURE the codec's claims depend on instead: phoneme-like segments
+# (stable 60-250 ms stretches with ~40 ms transitions), formant
+# trajectories from a vowel table, voiced/unvoiced/silence alternation,
+# f0 declination with jitter, and per-segment amplitude envelopes.  The
+# harmonic fixture above is near-stationary, which is why the paper's
+# central ordering (predictor-residual entropy < adjacent-frame-delta
+# entropy, reference src/frame_evaluation.py:130-181) is not
+# reproducible on it; this one has real segmental dynamics.
+
+_VOWELS = {          # F1, F2, F3 (Hz)
+    "a": (730, 1090, 2440),
+    "e": (530, 1840, 2480),
+    "i": (270, 2290, 3010),
+    "o": (570, 840, 2410),
+    "u": (300, 870, 2240),
+}
+_FORMANT_BW = (90.0, 110.0, 170.0)
+
+
+def _resonator(f_hz: float, bw_hz: float):
+    """2nd-order resonator coefficients (b0, a1, a2), normalised to
+    UNITY gain at the resonance frequency (otherwise a 3-resonator
+    cascade attenuates vowels ~25x below fricatives and the noise
+    floor buries their periodicity)."""
+    r = np.exp(-np.pi * bw_hz / C.SAMPLE_RATE)
+    w0 = 2.0 * np.pi * f_hz / C.SAMPLE_RATE
+    a1 = -2.0 * r * np.cos(w0)
+    a2 = r * r
+    z = np.exp(1j * w0)
+    b0 = abs(1.0 + a1 / z + a2 / z ** 2)
+    return b0, a1, a2
+
+
+def _phoneme_plan(rng: np.random.RandomState, n_samples: int):
+    """List of (kind, formants, dur_samples, gain) segments."""
+    plan = []
+    total = 0
+    while total < n_samples:
+        u = rng.rand()
+        if u < 0.55:            # vowel / voiced
+            v = list(_VOWELS.values())[rng.randint(len(_VOWELS))]
+            f = tuple(fv * rng.uniform(0.92, 1.08) for fv in v)
+            dur = int(rng.uniform(0.08, 0.25) * C.SAMPLE_RATE)
+            plan.append(("v", f, dur, rng.uniform(0.5, 1.0)))
+        elif u < 0.75:          # fricative (shaped noise)
+            f = (rng.uniform(2500, 6000), 0.0, 0.0)
+            dur = int(rng.uniform(0.06, 0.15) * C.SAMPLE_RATE)
+            plan.append(("f", f, dur, rng.uniform(0.15, 0.4)))
+        elif u < 0.9:           # nasal-ish voiced consonant
+            f = (rng.uniform(200, 350), rng.uniform(1000, 1400),
+                 rng.uniform(2200, 2700))
+            dur = int(rng.uniform(0.05, 0.12) * C.SAMPLE_RATE)
+            plan.append(("n", f, dur, rng.uniform(0.3, 0.6)))
+        else:                   # stop / pause
+            dur = int(rng.uniform(0.03, 0.12) * C.SAMPLE_RATE)
+            plan.append(("s", (0.0, 0.0, 0.0), dur, 0.0))
+        total += dur
+    return plan
+
+
+def speech_like_waveform(rng: np.random.RandomState,
+                         n_samples: int) -> np.ndarray:
+    """Speech-like waveform: glottal pulse train / shaped noise through
+    time-varying formant resonators, per-10ms-frame block processing
+    with carried filter state."""
+    from scipy.signal import lfilter
+
+    plan = _phoneme_plan(rng, n_samples)
+    # per-sample segment index + fractional position
+    kinds, formants, gains = [], [], []
+    for kind, f, dur, g in plan:
+        kinds.extend([kind] * dur)
+        formants.extend([f] * dur)
+        gains.extend([g] * dur)
+    kinds = kinds[:n_samples]
+    fmts = np.asarray(formants[:n_samples])          # (T, 3)
+    gains = np.asarray(gains[:n_samples])
+
+    # smooth formant trajectories + gains (~40 ms transitions)
+    k = int(0.04 * C.SAMPLE_RATE)
+    kernel = np.hanning(k)
+    kernel /= kernel.sum()
+    for j in range(3):
+        fmts[:, j] = np.convolve(fmts[:, j], kernel, mode="same")
+    gains = np.convolve(gains, kernel, mode="same")
+
+    # f0 contour: declination + slow prosodic wobble + jitter
+    base_f0 = rng.uniform(95.0, 210.0)
+    t = np.arange(n_samples) / C.SAMPLE_RATE
+    f0 = base_f0 * (1.0 - 0.12 * t / max(t[-1], 1e-9))
+    f0 *= 1.0 + 0.08 * np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t
+                              + rng.uniform(0, 6))
+    f0 *= 1.0 + 0.01 * rng.randn(n_samples)
+
+    voiced = np.asarray([kd in ("v", "n") for kd in kinds])
+    fric = np.asarray([kd == "f" for kd in kinds])
+
+    # glottal source: impulse train at f0 (phase-accumulator), shaped
+    # by a one-pole lowpass; plus aspiration noise
+    phase = np.cumsum(f0 / C.SAMPLE_RATE)
+    pulses = np.zeros(n_samples, np.float32)
+    pulses[1:] = (np.floor(phase[1:]) > np.floor(phase[:-1])).astype(
+        np.float32)
+    glottal = lfilter([1.0], [1.0, -0.96], pulses).astype(np.float32)
+    glottal = np.diff(glottal, prepend=0.0).astype(np.float32)  # -ish pulse
+    noise = rng.randn(n_samples).astype(np.float32)
+    src = np.where(voiced, glottal + 0.003 * noise,
+                   np.where(fric, 0.15 * noise, 0.0)).astype(np.float32)
+    src *= gains
+
+    # time-varying formant filtering, block-wise per 10 ms frame
+    out = np.zeros(n_samples, np.float32)
+    zi = [np.zeros(2) for _ in range(3)]
+    for start in range(0, n_samples, C.FRAME_SIZE):
+        end = min(start + C.FRAME_SIZE, n_samples)
+        if kinds[start] == "f":
+            # single broad resonance for fricatives; the vowel-chain
+            # states (zi[1], zi[2]) simply decay until reused
+            b0, a1, a2 = _resonator(float(fmts[start, 0]), 900.0)
+            y, zi[0] = lfilter([b0], [1.0, a1, a2], src[start:end],
+                               zi=zi[0])
+            out[start:end] = y
+            continue
+        y = src[start:end]
+        for j in range(3):
+            fj = float(max(fmts[start, j], 80.0))
+            b0, a1, a2 = _resonator(fj, _FORMANT_BW[j])
+            y, zi[j] = lfilter([b0], [1.0, a1, a2], y, zi=zi[j])
+        out[start:end] = y
+
+    # loudness equalisation: the resonator cascade's per-kind gain is
+    # hard to predict analytically, so rescale the LOCAL rms to the
+    # planned segment gains (vowels loud, fricatives quieter), with a
+    # smoothed envelope to avoid clicks
+    ek = np.hanning(int(0.025 * C.SAMPLE_RATE))
+    ek /= ek.sum()
+    local_rms = np.sqrt(np.convolve(out ** 2, ek, mode="same"))
+    floor = 0.1 * float(np.sqrt(np.mean(out ** 2))) + 1e-9
+    scale = gains / np.maximum(local_rms, floor)
+    scale = np.convolve(scale, ek, mode="same")
+    out = out * scale
+
+    out = out + 0.003 * out.std() * rng.randn(n_samples).astype(
+        np.float32)
+    out = out / max(np.abs(out).max(), 1e-10) * 0.999
+    return out.astype(np.float32)
+
+
 def analyze(x: np.ndarray) -> np.ndarray:
     """Waveform -> (n_frames, 36) feature rows using the codec's own
     analysis: windowed FFT band energies -> log10 -> DCT cepstra,
@@ -37,17 +191,32 @@ def analyze(x: np.ndarray) -> np.ndarray:
     return extract_features_np(x)
 
 
-def synth_utterance(seed: int, n_chunks: int = 12):
-    """Returns (waveform (n_chunks*2400 + pad,), windows (k, 19, 36))."""
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def synth_utterance(seed: int, n_chunks: int = 12,
+                    style: str = "harmonic"):
+    """Returns (waveform (n_chunks*2400 + pad,), windows (k, 19, 36)).
+
+    style: "harmonic" (fast, near-stationary) or "speech"
+    (phoneme-structured, formant-filtered - the realistic fixture).
+    Deterministic per (seed, n_chunks, style) and cached in-process
+    (the dataset layer only ever slices/copies the returned arrays)."""
     rng = np.random.RandomState(seed)
     n_frames = n_chunks * C.FRAMES_PER_CHUNK + 2 * C.CONTEXT_FRAMES
     n_samples = n_frames * C.FRAME_SIZE + C.OVERLAP_SIZE
-    x = synth_waveform(rng, n_samples)
+    gen = speech_like_waveform if style == "speech" else synth_waveform
+    x = gen(rng, n_samples)
     frames = analyze(x)[:n_frames]
     from fpsc_tpu.data.f32 import window_features
     windows = window_features(frames)
-    # waveform aligned with the non-context frames
-    aligned = x[C.CONTEXT_FRAMES * C.FRAME_SIZE:
+    # waveform aligned with the non-context frames, in the SAME
+    # pre-emphasis domain as the features (the vocoder trains on it;
+    # deemphasis() recovers the listening-domain signal)
+    from fpsc_tpu.dsp.emphasis import preemphasis
+    s = preemphasis(x)
+    aligned = s[C.CONTEXT_FRAMES * C.FRAME_SIZE:
                 (C.CONTEXT_FRAMES + n_chunks * C.FRAMES_PER_CHUNK)
                 * C.FRAME_SIZE]
     return aligned.astype(np.float32), windows

@@ -93,9 +93,19 @@ def estimate_pitch(x: np.ndarray, n_frames: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def extract_features_np(x: np.ndarray) -> np.ndarray:
+def extract_features_np(x: np.ndarray,
+                        preemph: float = 0.85) -> np.ndarray:
     """Waveform -> (n_frames, 36) feature rows
-    [ceps(18) | period | corr | lpc(16)]."""
+    [ceps(18) | period | corr | lpc(16)].
+
+    Pre-emphasises internally (LPCNet dump_data semantics, coef 0.85)
+    so the analysis domain matches the synthesis-side de-emphasis
+    (reference src/models/wavenet.py:188); pass preemph=0.0 to analyse
+    the raw signal.  Training PCM must be pre-emphasised with the same
+    coefficient (fpsc_tpu.data.prepare does this)."""
+    if preemph:
+        from fpsc_tpu.dsp.emphasis import preemphasis
+        x = preemphasis(x, preemph)
     frames = frame_signal(x)
     ceps = np.asarray(frames_to_cepstra(jnp.asarray(frames)))
     pitch = estimate_pitch(x, frames.shape[0])

@@ -66,8 +66,12 @@ def run(cfg: Config, num_samples: int = 2, out_dir=None):
             jnp.asarray(arrs["periods"]),
             jnp.asarray(lpc_sample)))
         name = batch["name"][0]
+        # training waveforms live in the pre-emphasis domain; the
+        # generated y is already de-emphasised - bring truth to the
+        # same listening domain
+        from fpsc_tpu.dsp.emphasis import deemphasis
         save_wav(os.path.join(out_dir, f"{name}_truth.wav"),
-                 arrs["x"][0])
+                 deemphasis(arrs["x"][0]))
         save_wav(os.path.join(out_dir, f"{name}_xout.wav"), y[0])
         outputs.append((name, y))
         print(f"synthesised {name}: {y.shape[-1]} samples -> {out_dir}")

@@ -107,8 +107,9 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
             vocoder_params, coded, jnp.asarray(periods),
             jnp.asarray(lpc), jax.random.PRNGKey(ns),
             corr=jnp.asarray(coded_un[..., 19])))
+        from fpsc_tpu.dsp.emphasis import deemphasis
         save_wav(os.path.join(out_dir, f"{name}_truth.wav"),
-                 batch["x"][0])
+                 deemphasis(batch["x"][0]))
         save_wav(os.path.join(out_dir, f"{name}_dec.wav"), y[0])
         rate = bs.bitrate_bps(len(packed), feat.shape[1])
         print(f"{name}: {len(packed)} bytes ({rate:.0f} b/s) "

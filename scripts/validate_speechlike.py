@@ -1,0 +1,140 @@
+"""Full-pipeline validation on SPEECH-REALISTIC fixtures, reproducing
+the paper's central ordering.
+
+Real recordings (LibriSpeech) are unobtainable in this environment
+(zero egress, no bundled corpora, no TTS tooling), so this runs the
+pipeline on the speech-structured generator
+(fpsc_tpu.data.synthetic.speech_like_waveform): phoneme-like segments,
+formant trajectories, voiced/unvoiced alternation, f0 declination.
+Unlike the near-stationary harmonic fixture (where delta coding is
+artificially strong and the ordering is NOT reproducible - round-1
+VALIDATION.md caveat), these tracks have real segmental dynamics and
+the run asserts the paper's actual claim:
+
+    H(prediction residual) < H(adjacent-frame delta)
+    (reference src/frame_evaluation.py:130-181)
+
+then trains codebooks, encodes, reports bitrate + coded-feature MSE,
+trains the LPCNet vocoder on the same fixtures and reports decoded-
+audio Bark-LSD and STFT-LSD vs their noise floors.
+
+    python scripts/validate_speechlike.py [epochs] [voc_epochs]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main(epochs: int = 80, voc_epochs: int = 150):
+    import jax
+    import jax.numpy as jnp
+
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.train import (frame_evaluation, generate_qtz_features,
+                                train_cb, train_frame)
+
+    label = time.strftime("spch_%m%d_%H%M%S")
+    overrides = [
+        "data.synthetic=true", "data.synthetic_style=speech",
+        "data.synthetic_utterances=32",
+        "data.chunks=6", "data.batch_size=16",
+        "predictor.gru_units1=384", "predictor.gru_units2=128",
+        f"train.epochs={epochs}", "train.learning_rate=0.001",
+        "train.warmup_batches=10",
+        "train.save_dir=/tmp/fpsc_speechlike", "train.save_every=20",
+        "codec.vq_entries=256,128", "codec.vq_entries_bl=128",
+        "codec.scl_entries=64", "codec.scl_entries_bl=16",
+        "codec.codebook_path=/tmp/fpsc_speechlike/cb.npz",
+    ]
+    cfg = Config(label=label)
+    apply_overrides(cfg, overrides)
+
+    print("=== 1. train_frame (speech-realistic fixtures) ===",
+          flush=True)
+    t0 = time.time()
+    params, min_loss = train_frame.run(cfg)
+    print(f"trained {epochs} epochs in {time.time()-t0:.0f}s, "
+          f"min val loss {min_loss:.4f}", flush=True)
+
+    print("=== 2. frame_evaluation: the paper's entropy ordering ===",
+          flush=True)
+    cfg_eval = Config(label=label)
+    apply_overrides(cfg_eval, overrides + [
+        f"train.transfer_model={label}",
+        f"train.transfer_epoch={epochs - 1}"])
+    report = frame_evaluation.run(cfg_eval, max_batches=3)
+    assert report["residual"] < report["adj_res_tr"], (
+        "paper ordering violated: residual entropy "
+        f"{report['residual']} >= adjacent-delta entropy "
+        f"{report['adj_res_tr']}")
+    assert report["residual"] < 0.8 * report["spec"], report
+    print(f"OK: H(residual)={report['residual']} < "
+          f"H(adjacent delta)={report['adj_res_tr']} < "
+          f"H(frames)={report['spec']}", flush=True)
+
+    print("=== 3. train_cb ===", flush=True)
+    cfg_cb = Config(label=label)
+    apply_overrides(cfg_cb, overrides + [
+        f"train.transfer_model={label}",
+        f"train.transfer_epoch={epochs - 1}",
+        "train.debugging=true"])
+    train_cb.run(cfg_cb)
+
+    print("=== 4. encode: bitrate + coded-feature MSE ===", flush=True)
+    out = generate_qtz_features.run(cfg_cb, max_utterances=16,
+                                    out_dir="/tmp/fpsc_speechlike/qtz")
+    print("coded-feature MSE:", out["mse"], flush=True)
+    print("bitrate b/s:", out["bitrate"], flush=True)
+    print("entropies:", out["entropies"], flush=True)
+    assert out["mse"] < 0.004, f"coded MSE too high: {out['mse']}"
+
+    print("=== 5. vocoder on speech fixtures ===", flush=True)
+    from fpsc_tpu.dsp.emphasis import deemphasis
+    from fpsc_tpu.eval.metrics import (log_spectral_distance,
+                                       stft_log_spectral_distance)
+    from fpsc_tpu.models import lpcnet
+    from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
+    from fpsc_tpu.train import train_lpcnet
+    from fpsc_tpu.train.train_lpcnet import vocoder_inputs
+    from fpsc_tpu.data.dataset import build_dataset
+
+    cfg_v = Config(label=label + "_voc")
+    apply_overrides(cfg_v, [
+        "data.synthetic=true", "data.synthetic_style=speech",
+        "data.synthetic_utterances=24", "data.chunks=4",
+        "data.batch_size=8",
+        "train.learning_rate=0.001", f"train.epochs={voc_epochs}",
+        "train.save_dir=/tmp/fpsc_speechlike", "train.save_every=50",
+    ])
+    t0 = time.time()
+    voc_params, ce = train_lpcnet.run(cfg_v)
+    print(f"vocoder {voc_epochs} epochs in {time.time()-t0:.0f}s, "
+          f"CE {ce:.3f}", flush=True)
+
+    ds = build_dataset(cfg_v.data, "val")
+    batch = next(ds.iter_batches(2, seed=0))
+    arrs = vocoder_inputs(batch)
+    y = np.asarray(pallas_generate(
+        voc_params, jnp.asarray(arrs["feat"]),
+        jnp.asarray(arrs["periods"]), jnp.asarray(arrs["lpc"]),
+        jax.random.PRNGKey(0)))
+    truth = deemphasis(arrs["x"])
+    noise = np.random.RandomState(0).randn(
+        len(truth[0])).astype(np.float32) * truth[0].std()
+    lsd = log_spectral_distance(truth[0], y[0])
+    lsd_n = log_spectral_distance(truth[0], noise)
+    slsd = stft_log_spectral_distance(truth[0], y[0])
+    slsd_n = stft_log_spectral_distance(truth[0], noise)
+    print(f"decoded-audio Bark-LSD {lsd:.3f} (noise {lsd_n:.3f}); "
+          f"STFT-LSD {slsd:.2f} dB (noise {slsd_n:.2f} dB)", flush=True)
+    assert lsd < 0.8 * lsd_n and slsd < 0.8 * slsd_n
+
+    print("SPEECHLIKE VALIDATION PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 80,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 150)

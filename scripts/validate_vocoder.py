@@ -18,7 +18,9 @@ def main(epochs: int = 150):
 
     from fpsc_tpu.config.config import Config, apply_overrides
     from fpsc_tpu.data.dataset import build_dataset
-    from fpsc_tpu.eval.metrics import log_spectral_distance, segmental_snr
+    from fpsc_tpu.eval.metrics import (log_spectral_distance,
+                                       segmental_snr,
+                                       stft_log_spectral_distance)
     from fpsc_tpu.models import lpcnet
     from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
     from fpsc_tpu.train import train_lpcnet
@@ -55,17 +57,25 @@ def main(epochs: int = 150):
     y_xla = np.asarray(lpcnet.generate(
         params, feat, periods, lpc, jax.random.PRNGKey(0)))
 
-    truth = arrs["x"]
+    # dataset waveforms are in the pre-emphasis domain; generated
+    # audio is de-emphasised - compare in the listening domain
+    from fpsc_tpu.dsp.emphasis import deemphasis
+    truth = deemphasis(arrs["x"])
+    noise = np.random.RandomState(0).randn(
+        len(truth[0])).astype(np.float32) * truth[0].std()
     for name, y in (("pallas", y_pallas), ("xla", y_xla)):
         lsd = log_spectral_distance(truth[0], y[0])
-        lsd_noise = log_spectral_distance(
-            truth[0], np.random.RandomState(0).randn(
-                len(truth[0])).astype(np.float32) * truth[0].std())
-        print(f"{name}: LSD vs truth {lsd:.3f} "
-              f"(noise floor {lsd_noise:.3f})", flush=True)
+        lsd_noise = log_spectral_distance(truth[0], noise)
+        slsd = stft_log_spectral_distance(truth[0], y[0])
+        slsd_noise = stft_log_spectral_distance(truth[0], noise)
+        print(f"{name}: Bark-LSD {lsd:.3f} (noise {lsd_noise:.3f}); "
+              f"STFT-LSD {slsd:.2f} dB (noise {slsd_noise:.2f} dB)",
+              flush=True)
         assert np.isfinite(y).all()
         assert lsd < 0.8 * lsd_noise, (
             f"{name} synthesis no better than noise: {lsd} vs {lsd_noise}")
+        assert slsd < 0.8 * slsd_noise, (
+            f"{name} STFT-LSD no better than noise: {slsd} vs {slsd_noise}")
     print("VOCODER VALIDATION PASSED", flush=True)
 
 

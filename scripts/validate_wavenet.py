@@ -53,7 +53,8 @@ def main(epochs: int = 120):
         params, mcfg, jax.random.PRNGKey(0),
         jnp.asarray(np.swapaxes(arrs["feat"], 1, 2)),
         jnp.asarray(arrs["periods"]), jnp.asarray(lpc_sample)))
-    truth = arrs["x"]
+    from fpsc_tpu.dsp.emphasis import deemphasis
+    truth = deemphasis(arrs["x"])   # back to the listening domain
     lsd = log_spectral_distance(truth[0], y[0])
     noise = np.random.RandomState(0).randn(len(truth[0])).astype(
         np.float32) * truth[0].std()

@@ -53,14 +53,18 @@ def test_frontend_features_shape_and_pitch_recovery():
 
 def test_frontend_cepstra_invert_through_ceps2lpc():
     """LPC from our cepstra must actually whiten the synthetic signal:
-    prediction residual energy well below signal energy."""
+    prediction residual energy well below signal energy.  The analysis
+    (and hence the LPC) lives in the pre-emphasis domain, so the
+    whitening check runs on the pre-emphasised signal - exactly the
+    waveform the vocoder trains on."""
     from fpsc_tpu.dsp.frontend import extract_features_np
     from fpsc_tpu.data.synthetic import synth_waveform
+    from fpsc_tpu.dsp.emphasis import preemphasis
     from fpsc_tpu.dsp.lpc import lpc_pred
     x = synth_waveform(np.random.RandomState(5), 16000)
     feats = extract_features_np(x)
     n = feats.shape[0] - 1
-    xs = x[: n * 160][None]
+    xs = preemphasis(x)[: n * 160][None]
     lpc = feats[:n, 20:][None]
     pred = np.asarray(lpc_pred(jnp.asarray(xs), jnp.asarray(lpc)))
     exc = xs - np.roll(pred, 1, -1)
