@@ -11,6 +11,14 @@ state.  These classes wrap jitted single-frame steps:
 State (GRU carries, previous coded frame, vocoder sample history) lives
 on-device between calls; each call is one compiled program.  The
 streaming path is bit-identical to the batch scan (tested).
+
+MULTI-STREAM SERVING: every class takes `batch=N` and then carries N
+independent streams' states stacked on the leading axis — one
+dispatched program serves N sessions per 10 ms tick.  Per-call
+dispatch latency dominates single-stream serving on a tunneled device
+(scripts/bench_streaming.py measures it), and the per-step compute is
+batch-independent (fpsc-perf round-1 finding), so batching streams is
+nearly free throughput.
 """
 from __future__ import annotations
 
@@ -26,57 +34,72 @@ from fpsc_tpu.models import lpcnet
 from fpsc_tpu.models.gru import gru_step
 
 
+def _rows(feat_rows: np.ndarray, batch: int, dim: int) -> jnp.ndarray:
+    """Accept (dim,) for batch=1 or (batch, dim)."""
+    a = jnp.asarray(feat_rows, jnp.float32)
+    if a.ndim == 1:
+        a = a[None]
+    assert a.shape == (batch, dim), (a.shape, batch, dim)
+    return a
+
+
 class StreamingEncoder:
     def __init__(self, params: fp.FramePredictorParams,
                  codebooks: fp.Codebooks, l1: float = 0.09,
-                 l2: float = 0.28):
+                 l2: float = 0.28, batch: int = 1):
         self.params = params
         self.codebooks = codebooks
+        self.batch = batch
         self.reset()
 
-        def step(state, feat_row):
+        def step(state, feat_rows):
             h1, h2, prev = state
-            x = jnp.concatenate([prev, feat_row[None, 18:]], axis=-1)
+            x = jnp.concatenate([prev, feat_rows[:, 18:]], axis=-1)
             f_out, h1, h2 = fp.step(params, h1, h2, x)
-            r_s = feat_row[None, :18] - f_out
+            r_s = feat_rows[:, :18] - f_out
             ind1 = jnp.abs(r_s[:, 0]) > l1
             ind2 = jnp.sum(jnp.abs(r_s[:, 1:]), axis=-1) > l2
             r_qtz, indices = fp._quantize_residual(codebooks, r_s,
                                                    ind1, ind2)
             prev = f_out + r_qtz
-            coded = jnp.concatenate([prev[0], feat_row[18:]])
+            coded = jnp.concatenate([prev, feat_rows[:, 18:]], axis=-1)
             return (h1, h2, prev), {
-                "ind1": ind1[0], "ind2": ind2[0],
-                "indices": {k: v[0] for k, v in indices.items()},
-                "coded": coded}
+                "ind1": ind1, "ind2": ind2,
+                "indices": indices, "coded": coded}
 
         self._step = jax.jit(step)
 
     def reset(self):
+        b = self.batch
         self.state = (
-            jnp.zeros((1, self.params.rnn1.units)),
-            jnp.zeros((1, self.params.rnn2.units)),
-            jnp.zeros((1, fp.NB_CEPS)),
+            jnp.zeros((b, self.params.rnn1.units)),
+            jnp.zeros((b, self.params.rnn2.units)),
+            jnp.zeros((b, fp.NB_CEPS)),
         )
 
-    def encode_frame(self, feat_row: np.ndarray) -> Dict:
-        """feat_row: (20,) normalised [ceps|pitch] frame."""
-        self.state, out = self._step(self.state,
-                                     jnp.asarray(feat_row, jnp.float32))
-        return jax.tree_util.tree_map(np.asarray, out)
+    def encode_frame(self, feat_rows: np.ndarray) -> Dict:
+        """feat_rows: (20,) or (batch, 20) normalised [ceps|pitch]."""
+        squeeze = np.ndim(feat_rows) == 1
+        self.state, out = self._step(
+            self.state, _rows(feat_rows, self.batch, 20))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        if squeeze and self.batch == 1:
+            out = jax.tree_util.tree_map(lambda a: a[0], out)
+        return out
 
 
 class StreamingDecoder:
     def __init__(self, params: fp.FramePredictorParams,
-                 codebooks: fp.Codebooks):
+                 codebooks: fp.Codebooks, batch: int = 1):
         self.params = params
         self.codebooks = codebooks
+        self.batch = batch
         self.reset()
 
         from fpsc_tpu.quant.scalar import scl_dequantize
         from fpsc_tpu.quant.vq import vq_dequantize
 
-        def step(state, ind1, ind2, indices, pitch_row):
+        def step(state, ind1, ind2, indices, pitch_rows):
             h1, h2, prev = state
             safe = lambda i: jnp.maximum(i, 0)
             r0_a = scl_dequantize(safe(indices["scl"]), codebooks.scl)
@@ -84,108 +107,127 @@ class StreamingDecoder:
                                    codebooks.scl_bl)
                     if codebooks.scl_bl is not None
                     else jnp.zeros_like(r0_a))
-            r0 = jnp.where(ind1, r0_a, r0_b)
-            rv_a = vq_dequantize(safe(indices["vq"]), codebooks.vq)
-            rv_b = (vq_dequantize(safe(indices["vq_bl"]),
-                                  codebooks.vq_bl)
-                    if codebooks.vq_bl is not None
-                    else jnp.zeros_like(rv_a))
-            rv = jnp.where(ind2, rv_a, rv_b)
-            r_qtz = jnp.concatenate([r0[None], rv])
-            x = jnp.concatenate([prev, pitch_row[None]], axis=-1)
+            r0 = jnp.where(ind1, r0_a, r0_b)            # (B,)
+            rv_a = jax.vmap(lambda i: vq_dequantize(safe(i),
+                                                    codebooks.vq))(
+                jnp.atleast_2d(indices["vq"]))
+            rv_b = (jax.vmap(lambda i: vq_dequantize(safe(i),
+                                                     codebooks.vq_bl))(
+                jnp.atleast_2d(indices["vq_bl"]))
+                if codebooks.vq_bl is not None
+                else jnp.zeros_like(rv_a))
+            rv = jnp.where(ind2[:, None], rv_a, rv_b)   # (B, 17)
+            r_qtz = jnp.concatenate([r0[:, None], rv], axis=-1)
+            x = jnp.concatenate([prev, pitch_rows], axis=-1)
             f_out, h1, h2 = fp.step(self.params, h1, h2, x)
-            coded = f_out[0] + r_qtz
-            return (h1, h2, coded[None]), jnp.concatenate(
-                [coded, pitch_row])
+            coded = f_out + r_qtz
+            return (h1, h2, coded), jnp.concatenate(
+                [coded, pitch_rows], axis=-1)
 
         self._step = jax.jit(step)
 
     def reset(self):
+        b = self.batch
         self.state = (
-            jnp.zeros((1, self.params.rnn1.units)),
-            jnp.zeros((1, self.params.rnn2.units)),
-            jnp.zeros((1, fp.NB_CEPS)),
+            jnp.zeros((b, self.params.rnn1.units)),
+            jnp.zeros((b, self.params.rnn2.units)),
+            jnp.zeros((b, fp.NB_CEPS)),
         )
 
-    def decode_frame(self, ind1: bool, ind2: bool, indices: Dict,
-                     pitch_row: np.ndarray) -> np.ndarray:
-        """-> (20,) normalised coded frame."""
+    def decode_frame(self, ind1, ind2, indices: Dict,
+                     pitch_rows: np.ndarray) -> np.ndarray:
+        """-> (20,) / (batch, 20) normalised coded frame."""
+        squeeze = np.ndim(pitch_rows) == 1
+        ind1 = jnp.atleast_1d(jnp.asarray(ind1, bool))
+        ind2 = jnp.atleast_1d(jnp.asarray(ind2, bool))
+        idx = {k: jnp.asarray(np.atleast_2d(np.asarray(v))
+                              if k in ("vq", "vq_bl")
+                              else np.atleast_1d(np.asarray(v)))
+               for k, v in indices.items()}
         self.state, coded = self._step(
-            self.state, jnp.asarray(bool(ind1)), jnp.asarray(bool(ind2)),
-            {k: jnp.asarray(v) for k, v in indices.items()},
-            jnp.asarray(pitch_row, jnp.float32))
-        return np.asarray(coded)
+            self.state, ind1, ind2, idx,
+            _rows(pitch_rows, self.batch, 2))
+        coded = np.asarray(coded)
+        return coded[0] if squeeze and self.batch == 1 else coded
 
 
 class StreamingVocoder:
-    """LPCNet sampler, one 10 ms frame (160 samples) per call."""
+    """LPCNet sampler, one 10 ms frame (160 samples) per call, batched
+    over independent streams."""
 
-    def __init__(self, params: lpcnet.LPCNetParams, seed: int = 0):
+    def __init__(self, params: lpcnet.LPCNetParams, seed: int = 0,
+                 batch: int = 1):
         self.params = params
         self.key = jax.random.PRNGKey(seed)
+        self.batch = batch
         self.reset()
 
-        def frame_step(state, key, coded_row):
+        def frame_step(state, key, coded_rows):
             h_a, h_b, hist, prev_e, prev_y = state
-            feat = coded_row[None, None, :20]
-            # coded_row is MAXI-normalised; the period formula and the
-            # sampling sharpening operate on RAW-scale pitch features
+            b = coded_rows.shape[0]
+            feat = coded_rows[:, None, :20]
+            # coded rows are MAXI-normalised; the period formula and
+            # the sampling sharpening operate on RAW-scale pitch
             # (reference src/train.py:123 and :79-92), matching the
             # batch path (train_lpcnet.vocoder_inputs).
-            period = (0.1 + 50.0 * coded_row[18] * C.MAXI + 100.0
-                      ).astype(jnp.int32)[None, None]
-            cond = lpcnet.frame_net(params, feat, period)[0, 0]  # (cond,)
+            period = (0.1 + 50.0 * coded_rows[:, 18] * C.MAXI + 100.0
+                      ).astype(jnp.int32)[:, None]
+            cond = lpcnet.frame_net(params, feat, period)[:, 0]  # (B, C)
             from fpsc_tpu.dsp.ceps2lpc import ceps2lpc
-            _, lpc, _ = ceps2lpc(coded_row[None, :18] * C.MAXI)
-            lpc_rev = lpc[0, ::-1]
-            corr = jnp.clip(coded_row[19] * C.MAXI, -0.5, 0.5)
-            uniforms = jax.random.uniform(key, (C.FRAME_SIZE, 1, 1))
+            _, lpc, _ = ceps2lpc(coded_rows[:, :18] * C.MAXI)
+            lpc_rev = lpc[:, ::-1]
+            corr = jnp.clip(coded_rows[:, 19] * C.MAXI, -0.5, 0.5)
+            uniforms = jax.random.uniform(key, (C.FRAME_SIZE, b, 1))
             emb = params.sample_emb.table
             from fpsc_tpu.dsp.mulaw import l2u_index, u2l
             u2l_table = u2l(jnp.arange(256)) / 32768.0
-            gamma = jnp.maximum(1.5 * corr - 0.5, 0.0)
+            gamma = jnp.maximum(1.5 * corr - 0.5, 0.0)[:, None]
 
             def sample_step(carry, u):
                 h_a, h_b, hist, prev_e, prev_y = carry
-                pred = -jnp.sum(hist * lpc_rev[None], axis=-1)
+                pred = -jnp.sum(hist * lpc_rev, axis=-1)
                 pre = jnp.concatenate([
                     emb[l2u_index(hist[:, -1] * 32768.0)],
                     emb[l2u_index(prev_e * 32768.0)],
                     emb[l2u_index(pred * 32768.0)],
-                    cond[None]], axis=-1)
+                    cond], axis=-1)
                 h_a = gru_step(params.gru_a, h_a, pre)
                 h_b = gru_step(params.gru_b, h_b, jnp.concatenate(
-                    [h_a, cond[None]], axis=-1))
+                    [h_a, cond], axis=-1))
                 logits = lpcnet._logits(params, h_b)
-                p = jax.nn.softmax(logits * (1.0 + gamma), axis=-1)
-                p = jnp.maximum(p - 0.002, 0.0)
-                cdf = jnp.cumsum(p, axis=-1)
+                p = jnp.exp(logits * (1.0 + gamma))
+                z = jnp.sum(p, axis=-1, keepdims=True)
+                pcut = jnp.maximum(p - 0.002 * z, 0.0)
+                cdf = jnp.cumsum(pcut, axis=-1)
                 e_idx = jnp.sum(
                     (cdf < u * cdf[:, -1:]).astype(jnp.int32), axis=-1)
                 e_lin = u2l_table[e_idx]
                 sample = pred + e_lin
                 hist = jnp.concatenate([hist[:, 1:], sample[:, None]], 1)
                 y = sample + 0.85 * prev_y
-                return (h_a, h_b, hist, e_lin, y), y[0]
+                return (h_a, h_b, hist, e_lin, y), y
 
             state, ys = jax.lax.scan(
                 sample_step, (h_a, h_b, hist, prev_e, prev_y), uniforms)
-            return state, ys
+            return state, jnp.swapaxes(ys, 0, 1)        # (B, 160)
 
         self._step = jax.jit(frame_step)
 
     def reset(self):
+        b = self.batch
         self.state = (
-            jnp.zeros((1, self.params.gru_a.units)),
-            jnp.zeros((1, self.params.gru_b.units)),
-            jnp.zeros((1, C.LPC_ORDER)),
-            jnp.zeros((1,)),
-            jnp.zeros((1,)),
+            jnp.zeros((b, self.params.gru_a.units)),
+            jnp.zeros((b, self.params.gru_b.units)),
+            jnp.zeros((b, C.LPC_ORDER)),
+            jnp.zeros((b,)),
+            jnp.zeros((b,)),
         )
 
-    def synthesize_frame(self, coded_row: np.ndarray) -> np.ndarray:
-        """coded_row: (20,) normalised coded frame -> (160,) samples."""
+    def synthesize_frame(self, coded_rows: np.ndarray) -> np.ndarray:
+        """coded_rows: (20,) / (batch, 20) -> (160,) / (batch, 160)."""
+        squeeze = np.ndim(coded_rows) == 1
         self.key, sub = jax.random.split(self.key)
-        self.state, ys = self._step(self.state, sub,
-                                    jnp.asarray(coded_row, jnp.float32))
-        return np.asarray(ys)
+        self.state, ys = self._step(
+            self.state, sub, _rows(coded_rows, self.batch, 20))
+        ys = np.asarray(ys)
+        return ys[0] if squeeze and self.batch == 1 else ys

@@ -54,6 +54,9 @@ class CodecConfig:
     code_dims: int = 17
     survivors: int = 5
     codebook_path: str = "codebooks/default.npz"
+    # Range-coded transmit chain (adaptive models incl. pitch deltas);
+    # false selects the fixed-layout bitstream.
+    entropy_coding: bool = True
 
 
 @dataclass

@@ -76,8 +76,8 @@ def _phoneme_plan(rng: np.random.RandomState, n_samples: int):
         u = rng.rand()
         if u < 0.55:            # vowel / voiced
             v = list(_VOWELS.values())[rng.randint(len(_VOWELS))]
-            f = tuple(fv * rng.uniform(0.92, 1.08) for fv in v)
-            dur = int(rng.uniform(0.08, 0.25) * C.SAMPLE_RATE)
+            f = tuple(fv * rng.uniform(0.85, 1.15) for fv in v)
+            dur = int(rng.uniform(0.12, 0.35) * C.SAMPLE_RATE)
             plan.append(("v", f, dur, rng.uniform(0.5, 1.0)))
         elif u < 0.75:          # fricative (shaped noise)
             f = (rng.uniform(2500, 6000), 0.0, 0.0)
@@ -103,73 +103,98 @@ def speech_like_waveform(rng: np.random.RandomState,
     from scipy.signal import lfilter
 
     plan = _phoneme_plan(rng, n_samples)
-    # per-sample segment index + fractional position
-    kinds, formants, gains = [], [], []
+    # per-sample segment kind
+    kinds = []
     for kind, f, dur, g in plan:
         kinds.extend([kind] * dur)
-        formants.extend([f] * dur)
-        gains.extend([g] * dur)
     kinds = kinds[:n_samples]
-    fmts = np.asarray(formants[:n_samples])          # (T, 3)
-    gains = np.asarray(gains[:n_samples])
 
-    # smooth formant trajectories + gains (~40 ms transitions)
-    k = int(0.04 * C.SAMPLE_RATE)
-    kernel = np.hanning(k)
-    kernel /= kernel.sum()
-    for j in range(3):
-        fmts[:, j] = np.convolve(fmts[:, j], kernel, mode="same")
-    gains = np.convolve(gains, kernel, mode="same")
+    # CONTINUOUS coarticulated trajectories: formants, gains and f0
+    # accents glide piecewise-linearly between segment midpoints (real
+    # speech moves constantly; piecewise-constant segments would make
+    # adjacent-frame delta coding artificially optimal and bury the
+    # predictor-residual-vs-delta comparison the paper rests on)
+    mids, targets, gain_t, f0_t = [], [], [], []
+    pos = 0
+    for kind, f, dur, g in plan:
+        mids.append(pos + dur / 2)
+        targets.append(f)
+        gain_t.append(g)
+        f0_t.append(rng.uniform(0.85, 1.2))      # per-segment accent
+        pos += dur
+    mids = np.asarray(mids)
+    targets = np.asarray(targets)                # (S, 3)
+    samples = np.arange(n_samples)
+    fmts = np.stack([np.interp(samples, mids, targets[:, j])
+                     for j in range(3)], axis=1)
+    gains = np.interp(samples, mids, np.asarray(gain_t))
+    accent = np.interp(samples, mids, np.asarray(f0_t))
 
-    # f0 contour: declination + slow prosodic wobble + jitter
+    # f0 contour: declination * per-segment accents + jitter
     base_f0 = rng.uniform(95.0, 210.0)
     t = np.arange(n_samples) / C.SAMPLE_RATE
-    f0 = base_f0 * (1.0 - 0.12 * t / max(t[-1], 1e-9))
-    f0 *= 1.0 + 0.08 * np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t
-                              + rng.uniform(0, 6))
-    f0 *= 1.0 + 0.01 * rng.randn(n_samples)
+    f0 = base_f0 * (1.0 - 0.12 * t / max(t[-1], 1e-9)) * accent
+    # mild jitter: a per-sample random walk on phase wanders the pulse
+    # positions and shows up as frame-analysis noise that buries the
+    # trajectory signal; keep it well below the trajectory movement
+    f0 *= 1.0 + 0.002 * rng.randn(n_samples)
 
     voiced = np.asarray([kd in ("v", "n") for kd in kinds])
     fric = np.asarray([kd == "f" for kd in kinds])
 
-    # glottal source: impulse train at f0 (phase-accumulator), shaped
-    # by a one-pole lowpass; plus aspiration noise
-    phase = np.cumsum(f0 / C.SAMPLE_RATE)
-    pulses = np.zeros(n_samples, np.float32)
-    pulses[1:] = (np.floor(phase[1:]) > np.floor(phase[:-1])).astype(
-        np.float32)
-    glottal = lfilter([1.0], [1.0, -0.96], pulses).astype(np.float32)
-    glottal = np.diff(glottal, prepend=0.0).astype(np.float32)  # -ish pulse
-    noise = rng.randn(n_samples).astype(np.float32)
-    src = np.where(voiced, glottal + 0.003 * noise,
-                   np.where(fric, 0.15 * noise, 0.0)).astype(np.float32)
-    src *= gains
+    # VOICED: additive harmonic synthesis.  (A pulse-train-through-
+    # filters source makes band energies beat against the analysis
+    # window at the pulse rate - frame-analysis noise that drowns the
+    # formant trajectories; explicit harmonics with formant-envelope
+    # amplitudes give smooth, trajectory-dominated features.)
+    def _env_mag(freqs_hz: np.ndarray, fm: np.ndarray) -> np.ndarray:
+        """|H| of the 3-formant envelope + glottal tilt.
+        freqs_hz: (..., K); fm: (..., 3) formant centers."""
+        mag = np.ones_like(freqs_hz)
+        for j, bw in enumerate(_FORMANT_BW):
+            fj = np.maximum(fm[..., j:j + 1], 80.0)
+            q = (freqs_hz ** 2 - fj ** 2) / (freqs_hz * bw * 4.0 + 1e-6)
+            mag = mag / np.sqrt(1.0 + q * q)
+        tilt = 1.0 / np.sqrt(1.0 + (freqs_hz / 900.0) ** 2)
+        return mag * tilt
 
-    # time-varying formant filtering, block-wise per 10 ms frame
-    out = np.zeros(n_samples, np.float32)
-    zi = [np.zeros(2) for _ in range(3)]
+    phi = 2.0 * np.pi * np.cumsum(f0 / C.SAMPLE_RATE)
+    n_harm = int(7600.0 / max(f0.min(), 60.0))
+    n_harm = min(max(n_harm, 8), 96)
+    # harmonic amplitudes at frame rate, upsampled linearly
+    fr_idx = np.arange(0, n_samples, C.FRAME_SIZE)
+    f0_fr = f0[fr_idx]                                   # (F,)
+    fm_fr = fmts[fr_idx]                                 # (F, 3)
+    ks = np.arange(1, n_harm + 1, dtype=np.float64)      # (K,)
+    freqs = f0_fr[:, None] * ks[None, :]                 # (F, K)
+    amps_fr = _env_mag(freqs, fm_fr) * (freqs < 7600.0)
+    harm = np.zeros(n_samples)
+    phases0 = rng.uniform(0, 2 * np.pi, n_harm)
+    for k in range(n_harm):
+        a = np.interp(np.arange(n_samples), fr_idx, amps_fr[:, k])
+        harm += a * np.sin((k + 1) * phi + phases0[k])
+    noise = rng.randn(n_samples).astype(np.float32)
+    voiced_sig = (harm + 0.005 * noise).astype(np.float32)
+
+    # UNVOICED: shaped noise through a broad time-varying resonance
+    fric_sig = np.zeros(n_samples, np.float32)
+    zi = np.zeros(2)
     for start in range(0, n_samples, C.FRAME_SIZE):
         end = min(start + C.FRAME_SIZE, n_samples)
-        if kinds[start] == "f":
-            # single broad resonance for fricatives; the vowel-chain
-            # states (zi[1], zi[2]) simply decay until reused
-            b0, a1, a2 = _resonator(float(fmts[start, 0]), 900.0)
-            y, zi[0] = lfilter([b0], [1.0, a1, a2], src[start:end],
-                               zi=zi[0])
-            out[start:end] = y
-            continue
-        y = src[start:end]
-        for j in range(3):
-            fj = float(max(fmts[start, j], 80.0))
-            b0, a1, a2 = _resonator(fj, _FORMANT_BW[j])
-            y, zi[j] = lfilter([b0], [1.0, a1, a2], y, zi=zi[j])
-        out[start:end] = y
+        b0, a1, a2 = _resonator(
+            float(np.clip(fmts[start, 0], 1500.0, 7000.0)), 900.0)
+        y, zi = lfilter([b0], [1.0, a1, a2], noise[start:end], zi=zi)
+        fric_sig[start:end] = y
+
+    out = np.where(voiced, voiced_sig,
+                   np.where(fric, fric_sig, 0.0)).astype(np.float32)
+    out *= gains.astype(np.float32)
 
     # loudness equalisation: the resonator cascade's per-kind gain is
     # hard to predict analytically, so rescale the LOCAL rms to the
     # planned segment gains (vowels loud, fricatives quieter), with a
     # smoothed envelope to avoid clicks
-    ek = np.hanning(int(0.025 * C.SAMPLE_RATE))
+    ek = np.hanning(int(0.05 * C.SAMPLE_RATE))
     ek /= ek.sum()
     local_rms = np.sqrt(np.convolve(out ** 2, ek, mode="same"))
     floor = 0.1 * float(np.sqrt(np.mean(out ** 2))) + 1e-9

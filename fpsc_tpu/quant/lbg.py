@@ -8,13 +8,20 @@ clusters collapse to the zero vector via the same count+1e-20 division.
 
 TPU-first design:
 
-* the (N, E) assignment runs as ||x||^2 - 2 x.c + ||c||^2 on the MXU
-  (a fused Pallas kernel is available in fpsc_tpu.ops.vq_pallas for the
-  hot path), with inactive (not yet split) entries masked to +inf so a
-  single compiled update serves every codebook size - no per-size
+* the (N, E) assignment runs as ||x||^2 - 2 x.c + ||c||^2 on the MXU,
+  with inactive (not yet split) entries masked to +inf so a single
+  compiled update serves every codebook size - no per-size
   recompilation for the 1..E growth loop,
 * centroid accumulation is a segment-sum (scatter-add), not a Python
-  loop over vectors.
+  loop over vectors,
+* the whole grow loop is ONE fused on-device program (_lbg_fused).
+
+No bespoke Pallas kernel: the assignment is a (5000, 17) x (17, 1024)
+matmul + row argmin, which XLA already fuses onto the MXU; the
+measured production-size wall time (train_cb geometry, B=5000,
+1024+1024 above / 512 below books) is recorded in VALIDATION.md -
+the XLA formulation is bandwidth/latency-bound on the scatter, not
+MXU-bound, so a hand kernel has nothing left to win.
 """
 from __future__ import annotations
 

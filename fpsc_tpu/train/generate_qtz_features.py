@@ -20,9 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from fpsc_tpu.codec import bitstream as bs
+from fpsc_tpu.codec import range_coder as rc
 from fpsc_tpu.codec.codec import coded_feature_windows, encode
 from fpsc_tpu.config.config import Config, parse_cli
 from fpsc_tpu.data.dataset import build_dataset, predictor_inputs
+from fpsc_tpu.dsp import constants as C
 from fpsc_tpu.dsp.entropy import usage_entropy_bits
 from fpsc_tpu.train import checkpoint as ckpt
 from fpsc_tpu.train.train_frame import build_model
@@ -60,8 +62,10 @@ def run(cfg: Config, max_utterances: int = 1000,
     ds = build_dataset(cfg.data, "train")
     totals = None
     mse_sum, mse_n = 0.0, 0
-    bits_total, frames_total = 0, 0
+    bits_total, bits_rc_total, frames_total = 0, 0, 0
     done = 0
+    # quantize_pitch expects RAW-scale pitch features
+    pitch_scale = C.MAXI if cfg.data.normalize else 1.0
 
     for batch in ds.iter_batches(min(cfg.data.batch_size, len(ds)),
                                  seed=0):
@@ -81,11 +85,18 @@ def run(cfg: Config, max_utterances: int = 1000,
         for i, name in enumerate(batch["name"]):
             np.save(os.path.join(out_dir, "train", f"{name}.npy"),
                     windows[i])
-            packed = bs.pack_utterance(
-                np.asarray(enc["ind1"])[i], np.asarray(enc["ind2"])[i],
-                {k: np.asarray(v)[i] for k, v in enc["indices"].items()},
-                orig[i, :, 18:], sizes)
+            ind1_i = np.asarray(enc["ind1"])[i]
+            ind2_i = np.asarray(enc["ind2"])[i]
+            idx_i = {k: np.asarray(v)[i]
+                     for k, v in enc["indices"].items()}
+            pitch_raw = orig[i, :, 18:] * pitch_scale
+            packed = bs.pack_utterance(ind1_i, ind2_i, idx_i,
+                                       pitch_raw, sizes)
+            packed_rc = rc.pack_utterance_rc(
+                ind1_i, ind2_i, idx_i, bs.quantize_pitch(pitch_raw),
+                sizes)
             bits_total += len(packed) * 8
+            bits_rc_total += len(packed_rc) * 8
             frames_total += orig.shape[1]
             done += 1
         if cfg.train.debugging or done >= max_utterances:
@@ -93,11 +104,14 @@ def run(cfg: Config, max_utterances: int = 1000,
 
     entropies = [round(usage_entropy_bits(c), 3) for c in totals]
     bitrate = bits_total / frames_total * 100.0
+    bitrate_rc = bits_rc_total / frames_total * 100.0
     print(f"coded {done} utterances -> {out_dir}")
     print(f"codebook usage entropies (bits): {entropies}")
     print(f"coded-feature MSE (normalised): {mse_sum / mse_n:.6f}")
-    print(f"measured bitrate: {bitrate:.1f} b/s")
+    print(f"measured bitrate: {bitrate:.1f} b/s fixed-layout, "
+          f"{bitrate_rc:.1f} b/s entropy-coded")
     return {"entropies": entropies, "bitrate": bitrate,
+            "bitrate_rc": bitrate_rc,
             "mse": mse_sum / mse_n, "out_dir": out_dir}
 
 

@@ -79,11 +79,20 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
         # pitch before handing it back to the (normalised-domain)
         # decoder.
         scale = C.MAXI if cfg.data.normalize else 1.0
-        packed = bs.pack_utterance(
-            np.asarray(enc["ind1"])[0], np.asarray(enc["ind2"])[0],
-            {k: np.asarray(v)[0] for k, v in enc["indices"].items()},
-            np.asarray(feat)[0, :, 18:] * scale, sizes)
-        got = bs.unpack_utterance(packed, sizes)
+        ind1_np = np.asarray(enc["ind1"])[0]
+        ind2_np = np.asarray(enc["ind2"])[0]
+        idx_np = {k: np.asarray(v)[0] for k, v in enc["indices"].items()}
+        pitch_raw = np.asarray(feat)[0, :, 18:] * scale
+        if cfg.codec.entropy_coding:
+            from fpsc_tpu.codec import range_coder as rcmod
+            packed = rcmod.pack_utterance_rc(
+                ind1_np, ind2_np, idx_np, bs.quantize_pitch(pitch_raw),
+                sizes)
+            got = rcmod.unpack_utterance_rc(packed, sizes)
+        else:
+            packed = bs.pack_utterance(ind1_np, ind2_np, idx_np,
+                                       pitch_raw, sizes)
+            got = bs.unpack_utterance(packed, sizes)
         coded = decode(frame_params, codebooks,
                        jnp.asarray(got["ind1"][None]),
                        jnp.asarray(got["ind2"][None]),

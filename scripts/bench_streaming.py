@@ -1,0 +1,96 @@
+"""Streaming (serving) latency benchmark on the real TPU.
+
+Measures per-frame wall time of the stateful StreamingEncoder /
+StreamingDecoder / StreamingVocoder at production model sizes, for
+1..N batched streams.  On this tunneled device per-call dispatch
+(~one network round trip per jitted call) dominates, and the on-chip
+per-step cost is batch-independent, so the headroom number that
+matters for serving is FRAMES PER 10 ms TICK = how many 10 ms frames
+one chip sustains when N streams share each dispatched program.
+
+    python scripts/bench_streaming.py [n_frames]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def bench_stage(name, call, frames, batch):
+    # warmup (compile) then timed loop; every call returns numpy
+    # already (the classes pull their outputs), so wall time per call
+    # includes dispatch + compute + result transfer - the real serving
+    # cost.
+    call(0)
+    t0 = time.perf_counter()
+    for t in range(1, frames):
+        call(t)
+    dt = (time.perf_counter() - t0) / (frames - 1)
+    rt = 0.010 / dt * batch          # stream-frames per 10 ms budget
+    print(f"{name:28s} batch {batch:4d}: {dt * 1e3:7.2f} ms/frame-call "
+          f"-> {rt:8.1f}x real-time aggregate")
+    return dt
+
+
+def main(n_frames: int = 50):
+    import jax
+
+    from fpsc_tpu.codec.streaming import (StreamingDecoder,
+                                          StreamingEncoder,
+                                          StreamingVocoder)
+    from fpsc_tpu.models import frame_predictor as fp
+    from fpsc_tpu.models import lpcnet
+
+    rng = np.random.RandomState(0)
+    fp_params = fp.init_frame_predictor(jax.random.PRNGKey(0))
+    cbs = fp.Codebooks(
+        scl=jnp_sort(rng.randn(256) * 0.1),
+        vq=(jnp_arr(rng.randn(1024, 17) * 0.1),
+            jnp_arr(rng.randn(1024, 17) * 0.05)),
+        scl_bl=jnp_sort(rng.randn(16) * 0.02),
+        vq_bl=(jnp_arr(rng.randn(512, 17) * 0.02),),
+    )
+    voc_params = lpcnet.init_lpcnet(jax.random.PRNGKey(1))
+
+    results = {}
+    for batch in (1, 8, 32, 128):
+        feat = (rng.randn(batch, n_frames, 20) * 0.3).astype(np.float32)
+        enc = StreamingEncoder(fp_params, cbs, batch=batch)
+        dt_e = bench_stage("StreamingEncoder",
+                           lambda t: enc.encode_frame(feat[:, t]),
+                           n_frames, batch)
+        out = enc.encode_frame(feat[:, 0])
+        dec = StreamingDecoder(fp_params, cbs, batch=batch)
+        dt_d = bench_stage(
+            "StreamingDecoder",
+            lambda t: dec.decode_frame(out["ind1"], out["ind2"],
+                                       out["indices"], feat[:, t, 18:]),
+            n_frames, batch)
+        voc = StreamingVocoder(voc_params, batch=batch)
+        dt_v = bench_stage("StreamingVocoder",
+                           lambda t: voc.synthesize_frame(feat[:, t]),
+                           n_frames, batch)
+        total = dt_e + dt_d + dt_v
+        results[batch] = (dt_e, dt_d, dt_v, total)
+        print(f"{'full chain':28s} batch {batch:4d}: "
+              f"{total * 1e3:7.2f} ms/frame "
+              f"({'REAL-TIME OK' if total < 0.010 else 'over budget'} "
+              f"per tick; {0.010 / total * batch:.1f} stream-frames/"
+              f"10ms)", flush=True)
+    return results
+
+
+def jnp_arr(a):
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(a, np.float32))
+
+
+def jnp_sort(a):
+    import jax.numpy as jnp
+    return jnp.asarray(np.sort(np.asarray(a, np.float32)))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)

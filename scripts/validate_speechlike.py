@@ -28,7 +28,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main(epochs: int = 80, voc_epochs: int = 150):
+def main(epochs: int = 400, voc_epochs: int = 150):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +39,7 @@ def main(epochs: int = 80, voc_epochs: int = 150):
     label = time.strftime("spch_%m%d_%H%M%S")
     overrides = [
         "data.synthetic=true", "data.synthetic_style=speech",
-        "data.synthetic_utterances=32",
+        "data.synthetic_utterances=48",
         "data.chunks=6", "data.batch_size=16",
         "predictor.gru_units1=384", "predictor.gru_units2=128",
         f"train.epochs={epochs}", "train.learning_rate=0.001",
@@ -136,5 +136,5 @@ def main(epochs: int = 80, voc_epochs: int = 150):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 80,
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
          int(sys.argv[2]) if len(sys.argv) > 2 else 150)

@@ -71,6 +71,59 @@ def test_streaming_vocoder_runs(setup):
     assert not np.array_equal(y1, y2)
 
 
+def test_batched_streaming_matches_independent_streams(setup):
+    """batch=N streaming carries N independent sessions: results equal
+    N separate single-stream instances, stream for stream."""
+    from fpsc_tpu.codec.streaming import StreamingEncoder
+    params, cbs, _ = setup
+    rng = np.random.RandomState(5)
+    feats = (rng.randn(3, 6, 20) * 0.3).astype(np.float32)
+
+    benc = StreamingEncoder(params, cbs, batch=3)
+    singles = [StreamingEncoder(params, cbs) for _ in range(3)]
+    for t in range(6):
+        out_b = benc.encode_frame(feats[:, t])
+        for i in range(3):
+            out_s = singles[i].encode_frame(feats[i, t])
+            assert bool(out_b["ind1"][i]) == bool(out_s["ind1"])
+            np.testing.assert_allclose(out_b["coded"][i], out_s["coded"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(out_b["indices"]["vq"][i],
+                                          out_s["indices"]["vq"])
+
+
+def test_batched_streaming_vocoder(setup):
+    from fpsc_tpu.codec.streaming import StreamingVocoder
+    from fpsc_tpu.models import lpcnet
+    params, cbs, feat = setup
+    lcfg = lpcnet.LPCNetConfig(gru_a_units=16, gru_b_units=8,
+                               embed_dim=8, cond_units=8)
+    voc = StreamingVocoder(lpcnet.init_lpcnet(jax.random.PRNGKey(1),
+                                              lcfg), batch=4)
+    rows = (np.random.RandomState(2).randn(4, 20) * 0.3
+            ).astype(np.float32)
+    y = voc.synthesize_frame(rows)
+    assert y.shape == (4, 160) and np.isfinite(y).all()
+    # distinct streams -> distinct audio
+    assert not np.array_equal(y[0], y[1])
+
+
+def test_streaming_decoder_batched_roundtrip(setup):
+    from fpsc_tpu.codec.streaming import (StreamingDecoder,
+                                          StreamingEncoder)
+    params, cbs, _ = setup
+    rng = np.random.RandomState(8)
+    feats = (rng.randn(2, 5, 20) * 0.3).astype(np.float32)
+    enc = StreamingEncoder(params, cbs, batch=2)
+    dec = StreamingDecoder(params, cbs, batch=2)
+    for t in range(5):
+        out = enc.encode_frame(feats[:, t])
+        coded = dec.decode_frame(out["ind1"], out["ind2"],
+                                 out["indices"], feats[:, t, 18:])
+        np.testing.assert_allclose(coded, out["coded"],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_range_coder_roundtrip_random_symbols():
     rng = np.random.RandomState(0)
     counts = rng.randint(1, 100, 32)
@@ -100,6 +153,49 @@ def test_range_coder_near_entropy():
     h = -np.sum(probs * np.log2(probs))
     assert bits / n < h * 1.1 + 0.1     # within 10% of entropy
     assert bits / n < 3.0               # far below the 3-bit fixed width
+
+
+def test_pack_utterance_rc_roundtrip_and_rate(setup):
+    """Self-contained entropy-coded utterance (pitch included, adaptive
+    models, no side info): exact roundtrip and a measured rate beneath
+    the fixed-layout bitstream on the same symbol streams."""
+    from fpsc_tpu.codec import bitstream as bs
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+
+    params, cbs, _ = setup
+    sizes = codebook_sizes(cbs)
+    rng = np.random.RandomState(9)
+    feat = (rng.randn(1, 120, 20) * 0.3).astype(np.float32)
+    # realistic raw-scale pitch: smooth period track + corr in range
+    period = 110 + np.cumsum(rng.randint(-2, 3, 120))
+    feat[0, :, 18] = (np.clip(period, 40, 250) - 100.0) / 50.0
+    feat[0, :, 19] = np.clip(0.3 + 0.1 * rng.randn(120), -0.5, 0.5)
+
+    enc = encode(params, cbs, jnp.asarray(feat))
+    ind1 = np.asarray(enc["ind1"])[0]
+    ind2 = np.asarray(enc["ind2"])[0]
+    indices = {k: np.asarray(v)[0] for k, v in enc["indices"].items()}
+    pitch = feat[0, :, 18:]
+    pcodes = bs.quantize_pitch(pitch)
+
+    data = rc.pack_utterance_rc(ind1, ind2, indices, pcodes, sizes)
+    got = rc.unpack_utterance_rc(data, sizes)
+    np.testing.assert_array_equal(got["ind1"], ind1)
+    np.testing.assert_array_equal(got["ind2"], ind2)
+    for k in ("scl", "vq", "scl_bl", "vq_bl"):
+        want = np.atleast_2d(indices[k].T).T
+        mask = want >= 0
+        np.testing.assert_array_equal(
+            np.atleast_2d(got["indices"][k].T).T[mask], want[mask])
+    np.testing.assert_allclose(got["pitch"],
+                               bs.dequantize_pitch(pcodes), rtol=1e-6)
+
+    fixed = bs.pack_utterance(ind1, ind2, indices, pitch, sizes)
+    rate_rc = bs.bitrate_bps(len(data), 120)
+    rate_fx = bs.bitrate_bps(len(fixed), 120)
+    # the pitch delta model alone should undercut the fixed 11 bits/
+    # frame side-channel decisively
+    assert rate_rc < 0.85 * rate_fx, (rate_rc, rate_fx)
 
 
 def test_entropy_pack_roundtrip_and_rate(setup):
