@@ -90,6 +90,9 @@ class LPCNetConfig:
     gru_a_density: float = 1.0
     sparsify_start: int = 100
     sparsify_end: int = 1000
+    # mask block geometry; (64, 64) aligns with the Pallas kernel's
+    # static block-sparse recurrent path (derive_block_pattern)
+    sparsify_block: Tuple[int, ...] = (64, 64)
 
 
 @dataclass

@@ -160,7 +160,9 @@ def run(cfg: Config, data_dir: Optional[str] = None
                     global_step, cfg.lpcnet.sparsify_start,
                     cfg.lpcnet.sparsify_end, cfg.lpcnet.gru_a_density)
                 if d < 1.0:
-                    params = sparsify(params, density=round(d, 3))
+                    params = sparsify(
+                        params, density=round(d, 3),
+                        block=tuple(cfg.lpcnet.sparsify_block))
             total += float(loss)
             n += 1
             if cfg.train.debugging or (

