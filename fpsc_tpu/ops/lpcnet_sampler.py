@@ -211,6 +211,20 @@ def derive_block_pattern(wh, block=(128, 128)):
     return pattern, (rb_sz, cb_sz)
 
 
+def auto_block_pattern(params, block=(64, 64), max_live: float = 0.9):
+    """Derive the kernel's static block pattern from TRAINED weights.
+
+    Returns (pattern, block) when GRU_A's recurrent matrix is actually
+    block-sparse (live fraction < max_live), else None (dense path).
+    Lets synthesis entries deploy the sparse kernel automatically for
+    models trained with lpcnet.sparsify_gru_a; must run OUTSIDE jit."""
+    pattern, blk = derive_block_pattern(params.gru_a.wh, block)
+    wh = np.asarray(params.gru_a.wh)
+    total = len(pattern) * (wh.shape[1] // blk[1])
+    live = sum(len(c) for c in pattern)
+    return (pattern, blk) if live < max_live * total else None
+
+
 def pallas_generate(params, feat: jax.Array, periods: jax.Array,
                     lpc: jax.Array, key: jax.Array,
                     corr: Optional[jax.Array] = None,

@@ -111,11 +111,21 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
         _, lpc, _ = ceps2lpc(jnp.asarray(
             coded_un.reshape(-1, 20)[:, :18]))
         lpc = np.asarray(lpc).reshape(coded_un.shape[0], -1, 16)
-        gen = pallas_generate if use_pallas else lpcnet.generate
-        y = np.asarray(gen(
-            vocoder_params, coded, jnp.asarray(periods),
-            jnp.asarray(lpc), jax.random.PRNGKey(ns),
-            corr=jnp.asarray(coded_un[..., 19])))
+        if use_pallas:
+            # sparse-trained vocoders automatically use the kernel's
+            # static block-sparse recurrent path
+            from fpsc_tpu.ops.lpcnet_sampler import auto_block_pattern
+            pat = auto_block_pattern(vocoder_params)
+            y = np.asarray(pallas_generate(
+                vocoder_params, coded, jnp.asarray(periods),
+                jnp.asarray(lpc), jax.random.PRNGKey(ns),
+                corr=jnp.asarray(coded_un[..., 19]),
+                gru_a_pattern=pat))
+        else:
+            y = np.asarray(lpcnet.generate(
+                vocoder_params, coded, jnp.asarray(periods),
+                jnp.asarray(lpc), jax.random.PRNGKey(ns),
+                corr=jnp.asarray(coded_un[..., 19])))
         from fpsc_tpu.dsp.emphasis import deemphasis
         save_wav(os.path.join(out_dir, f"{name}_truth.wav"),
                  deemphasis(batch["x"][0]))

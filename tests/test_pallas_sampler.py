@@ -88,3 +88,24 @@ def test_sparse_pattern_kernel_matches_dense():
         jnp.asarray(lpc), key, dtype=jnp.float32,
         gru_a_pattern=(pattern, block), interpret=True))
     np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_auto_block_pattern():
+    """Trained-sparse models deploy the kernel's block-sparse path
+    automatically; dense models get None."""
+    from fpsc_tpu.ops.lpcnet_sampler import auto_block_pattern
+    cfg = lpcnet.LPCNetConfig(gru_a_units=64, gru_b_units=8,
+                              embed_dim=16, cond_units=16)
+    params = lpcnet.init_lpcnet(jax.random.PRNGKey(0), cfg)
+    assert auto_block_pattern(params, block=(64, 32)) is None
+    sp = lpcnet.sparsify_gru_a(params, 0.3, block=(64, 32))
+    pat = auto_block_pattern(sp, block=(64, 32))
+    assert pat is not None
+    live = sum(len(c) for c in pat[0])
+    assert 0 < live < len(pat[0]) * 2
+    # production geometry with the default (64, 64) blocks
+    pp = lpcnet.init_lpcnet(jax.random.PRNGKey(1))
+    spp = lpcnet.sparsify_gru_a(pp, 0.2, block=(64, 64))
+    patp = auto_block_pattern(spp)
+    assert sum(len(c) for c in patp[0]) <= 24   # ~0.2 * 108 + diag
+    assert auto_block_pattern(pp) is None
