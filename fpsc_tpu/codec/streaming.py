@@ -63,10 +63,24 @@ class StreamingEncoder:
                                                    ind1, ind2)
             prev = f_out + r_qtz
             coded = jnp.concatenate([prev, feat_rows[:, 18:]], axis=-1)
-            return (h1, h2, prev), {
-                "ind1": ind1, "ind2": ind2,
-                "indices": indices, "coded": coded}
+            # ONE output array: on a tunneled device every host pull
+            # is a network round trip, so the per-frame result is
+            # packed into a single (B, 24+S+S') f32 row and split on
+            # the host (encode_frame) - one transfer instead of seven.
+            packed = jnp.concatenate([
+                coded,                                    # 20
+                ind1[:, None].astype(jnp.float32),        # 1
+                ind2[:, None].astype(jnp.float32),        # 1
+                indices["scl"][:, None].astype(jnp.float32),
+                indices["scl_bl"][:, None].astype(jnp.float32),
+                indices["vq"].astype(jnp.float32),        # S
+                indices["vq_bl"].astype(jnp.float32),     # S'
+            ], axis=-1)
+            return (h1, h2, prev), packed
 
+        self._n_vq = len(codebooks.vq)
+        self._n_vq_bl = (len(codebooks.vq_bl)
+                         if codebooks.vq_bl is not None else 1)
         self._step = jax.jit(step)
 
     def reset(self):
@@ -80,9 +94,21 @@ class StreamingEncoder:
     def encode_frame(self, feat_rows: np.ndarray) -> Dict:
         """feat_rows: (20,) or (batch, 20) normalised [ceps|pitch]."""
         squeeze = np.ndim(feat_rows) == 1
-        self.state, out = self._step(
+        self.state, packed = self._step(
             self.state, _rows(feat_rows, self.batch, 20))
-        out = jax.tree_util.tree_map(np.asarray, out)
+        p = np.asarray(packed)                 # single host transfer
+        s, sb = self._n_vq, self._n_vq_bl
+        out = {
+            "coded": p[:, :20],
+            "ind1": p[:, 20] > 0.5,
+            "ind2": p[:, 21] > 0.5,
+            "indices": {
+                "scl": p[:, 22].astype(np.int32),
+                "scl_bl": p[:, 23].astype(np.int32),
+                "vq": p[:, 24:24 + s].astype(np.int32),
+                "vq_bl": p[:, 24 + s:24 + s + sb].astype(np.int32),
+            },
+        }
         if squeeze and self.batch == 1:
             out = jax.tree_util.tree_map(lambda a: a[0], out)
         return out
