@@ -44,17 +44,19 @@ def encode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
     if use_mask:
         out = fp.mask_enc(params, feat, scale=scale,
                           codebooks=codebooks, qtz=True)
-        ind1 = np.asarray(out["scl_mask"][..., 0]) > 0.5
-        ind2 = np.asarray(out["vct_mask"][..., 0]) > 0.5
-        ind1 = jnp.asarray(ind1)
-        ind2 = jnp.asarray(ind2)
+        # stays traced: no host round trip, so the mask path fuses
+        # under jit exactly like the threshold path
+        ind1 = out["scl_mask"][..., 0] > 0.5
+        ind2 = out["vct_mask"][..., 0] > 0.5
+        r_qtz, r = out["r"], out["r_orig"]   # mask_enc's key layout
     else:
         out = fp.encoder(params, feat, l1=l1, l2=l2,
                          codebooks=codebooks, qtz=True)
         ind1, ind2 = out["ind1"], out["ind2"]
+        r_qtz, r = out["r_qtz"], out["r"]
     counts = fp.usage_counts(codebooks, out["indices"])
-    return {"coded": out["c_in"], "r_qtz": out["r_qtz"],
-            "r": out["r"], "ind1": ind1, "ind2": ind2,
+    return {"coded": out["c_in"], "r_qtz": r_qtz,
+            "r": r, "ind1": ind1, "ind2": ind2,
             "indices": out["indices"], "counts": counts}
 
 

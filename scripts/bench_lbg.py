@@ -59,7 +59,10 @@ def main(n: int = 5000):
     print(f"train_multistage [1024,1024]: {time.time() - t0:.2f} s",
           flush=True)
 
-    # the reference's own numpy trainer, one stage, for scale
+    # the reference's own numpy trainer for scale - at 256 entries
+    # only: its find_nearest materialises (E, N, 17) float64
+    # temporaries, so the full 1024-entry run takes tens of minutes
+    # (the quadratic-in-E growth makes the scaling explicit below)
     sys.path.insert(0, "tests")
     from test_reference_parity import _load_reference_module
     ref_cb = _load_reference_module("cb_func", "quantization/cb_func.py")
@@ -68,9 +71,11 @@ def main(n: int = 5000):
     np.random.seed(0)
     t0 = time.time()
     with redirect_stdout(io.StringIO()):
-        ref_cb.vq_train(data[:n], np.zeros((1024, 17)), 1024)
-    print(f"reference numpy vq_train 1024: {time.time() - t0:.1f} s",
-          flush=True)
+        ref_cb.vq_train(data[:n], np.zeros((256, 17)), 256)
+    t_ref = time.time() - t0
+    print(f"reference numpy vq_train 256: {t_ref:.1f} s "
+          f"(grow loop is O(E^2): ~{t_ref * 16:.0f} s extrapolated at "
+          f"1024)", flush=True)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,23 @@ def test_encode_decode_inverts(setup):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_mask_encode_jits_and_inverts(setup):
+    """Regression (round-1 verdict weak #7): encode(use_mask=True) must
+    compose under jit (no np.asarray host round trip mid-API) and its
+    output keys match the threshold path; mask encode -> decode
+    inverts."""
+    import functools
+    params, cbs, feat = setup
+    f = jax.jit(functools.partial(encode, use_mask=True))
+    enc = f(params, cbs, jnp.asarray(feat))
+    assert enc["coded"].shape == feat.shape
+    assert enc["r_qtz"].shape == feat[..., :18].shape
+    dec = decode(params, cbs, enc["ind1"], enc["ind2"], enc["indices"],
+                 jnp.asarray(feat[..., 18:]))
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(enc["coded"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_bitstream_roundtrip(setup):
     params, cbs, feat = setup
     from fpsc_tpu.train.generate_qtz_features import codebook_sizes
