@@ -83,6 +83,23 @@ def wavernn_to_frame_predictor(sd: Dict):
     return params, cfg
 
 
+def wavernn_para_to_params(sd: Dict):
+    """Reference Wavernn_para state dict (wavernn_para.py:21-50) ->
+    (ParaParams, ParaConfig)."""
+    from fpsc_tpu.models.frame_predictor_para import ParaConfig, ParaParams
+
+    rnn1 = _gru(sd, "rnn1")
+    rnn2 = _gru(sd, "rnn2")
+    rnn3 = _gru(sd, "rnn3")
+    fc = DenseParams(w=_t(sd, "dual_fc.0.weight"),
+                     b=_t(sd, "dual_fc.0.bias"))
+    cfg = ParaConfig(in_features=rnn1.wi.shape[1],
+                     gru_units1=rnn1.units,
+                     gru_units2=rnn2.units,
+                     fc_units=fc.w.shape[0])
+    return ParaParams(rnn1=rnn1, rnn2=rnn2, rnn3=rnn3, fc=fc), cfg
+
+
 def _wnconv(sd: Dict, prefix: str, weight_norm: bool = True):
     """torch Conv1d (optionally weight_norm-wrapped) -> WNConvParams."""
     from fpsc_tpu.models.wavenet import WNConvParams

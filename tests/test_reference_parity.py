@@ -40,7 +40,9 @@ pytestmark = pytest.mark.skipif(
 
 
 class _StubModule(types.ModuleType):
-    """Import-time placeholder: any attribute resolves to a sub-stub."""
+    """Import-time placeholder: any attribute resolves to a sub-stub;
+    calls act as pass-through decorators (the reference uses
+    @ex.capture at module level)."""
 
     def __getattr__(self, name):
         if name.startswith("__"):
@@ -49,13 +51,22 @@ class _StubModule(types.ModuleType):
         setattr(self, name, sub)
         return sub
 
+    def __call__(self, *args, **kwargs):
+        if len(args) == 1 and callable(args[0]) and not kwargs:
+            return args[0]
+        return _StubModule(f"{self.__name__}()")
+
 
 _STUB_NAMES = ("librosa", "torchaudio", "soundfile", "sacred",
                "sklearn_stub", "utils", "config", "tqdm_stub")
 
 
-def _load_reference_module(name: str, relpath: str):
-    """Load a reference module with stubs for its unavailable deps."""
+def _load_reference_module(name: str, relpath: str, real_deps=None):
+    """Load a reference module with stubs for its unavailable deps.
+
+    real_deps: optional {import_name: loaded module} injected so
+    reference modules can import their siblings (e.g. wavenet.py's
+    `from modules import Conv, ResBlock`)."""
     saved = {}
     for s in _STUB_NAMES:
         saved[s] = sys.modules.get(s)
@@ -63,6 +74,9 @@ def _load_reference_module(name: str, relpath: str):
         if s == "config":
             stub.ex = _StubModule("config.ex")
         sys.modules[s] = stub
+    for dep, mod in (real_deps or {}).items():
+        saved[dep] = sys.modules.get(dep)
+        sys.modules[dep] = mod
     try:
         spec = importlib.util.spec_from_file_location(
             f"refparity_{name}", os.path.join(REF_SRC, relpath))
@@ -361,3 +375,87 @@ def test_closed_loop_encoder_matches_reference_wavernn(tmp_path):
     np.testing.assert_allclose(np.asarray(out["c_in"])[0, :, :18],
                                c_in.numpy()[0, :, :18],
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Forward parity against the reference's OWN model classes
+# ---------------------------------------------------------------------------
+
+def test_wavernn_para_forward_matches_reference_class():
+    """frame_predictor_para.forward vs the reference's Wavernn_para
+    (rnn3 over the flipped trunk output), weights imported via
+    utils/torch_import.wavernn_para_to_params."""
+    import torch
+
+    from fpsc_tpu.models import frame_predictor_para as fpp
+    from fpsc_tpu.utils.torch_import import wavernn_para_to_params
+
+    ref = _load_reference_module("wavernn_para", "models/wavernn_para.py")
+    ref.device = "cpu"
+    torch.manual_seed(1)
+    m = ref.Wavernn_para(in_features=20, gru_units1=24, gru_units2=12,
+                         fc_units=18)
+    m.eval()
+    params, cfg = wavernn_para_to_params(m.state_dict())
+    assert cfg.gru_units1 == 24 and cfg.fc_units == 18
+
+    x = (np.random.RandomState(2).randn(2, 9, 20) * 0.3
+         ).astype(np.float32)
+    with torch.no_grad():
+        want_mid, want_out, *_ = m(torch.tensor(x))
+    got_mid, got_out, *_ = fpp.forward(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_mid), want_mid.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_out), want_out.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_wavenet_forward_matches_reference_class():
+    """models/wavenet.forward vs the reference's own torch Wavenet
+    (front conv, gated dilated ResBlocks, fat upsampler with pitch
+    embedding + ConvTranspose2d chain), weights imported via
+    utils/torch_import.wavenet_to_params.  This pins the causal-padding
+    and upsampler-geometry semantics against the real implementation,
+    not a reconstruction."""
+    import torch
+
+    from fpsc_tpu.models import wavenet as wn
+    from fpsc_tpu.utils.torch_import import wavenet_to_params
+
+    ref_loss = _load_reference_module("loss", "loss.py")
+    ref_modules = _load_reference_module(
+        "modules", "models/modules.py", real_deps={"loss": ref_loss})
+    ref_wn = _load_reference_module(
+        "wavenet", "models/wavenet.py", real_deps={"modules": ref_modules})
+
+    torch.manual_seed(0)
+    m = ref_wn.Wavenet(out_channels=2, num_blocks=1, num_layers=3,
+                       inp_channels=1, residual_channels=8,
+                       gate_channels=12, skip_channels=8,
+                       kernel_size=2, cin_channels=20 + 64,
+                       cout_channels=12, upsample_scales=[10, 16],
+                       causal=True, local=False, fat_upsampler=True)
+    m.eval()
+    params = wavenet_to_params(m.state_dict())
+    cfg = wn.WavenetConfig(out_channels=2, num_blocks=1, num_layers=3,
+                           residual_channels=8, gate_channels=12,
+                           skip_channels=8, cout_channels=12,
+                           cin_channels=20, front_kernel=32,
+                           kernel_size=2, fat_upsampler=True,
+                           local=False)
+
+    rng = np.random.RandomState(4)
+    b, length = 2, 2
+    x = (rng.randn(b, 1, length * 160) * 0.1).astype(np.float32)
+    c = (rng.randn(b, 20, length) * 0.3).astype(np.float32)
+    periods = rng.randint(32, 250, (b, length)).astype(np.int64)
+
+    with torch.no_grad():
+        want = m(torch.tensor(x),
+                 torch.tensor(periods[:, :, None]),
+                 torch.tensor(c))
+    got = wn.forward(params, cfg, jnp.asarray(x),
+                     jnp.asarray(periods.astype(np.int32)),
+                     jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-3, atol=2e-4)
