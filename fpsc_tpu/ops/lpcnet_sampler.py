@@ -66,7 +66,7 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             h_a_s, h_b_s, hist_s,
             *, ha: int, hb: int, levels: int, deemph: float,
             u2l_base: float, acc_dtype, gru_a_pattern=None,
-            sparse_block=(128, 128), unroll: int = 1):
+            sparse_block=(128, 128)):
     f = pl.program_id(0)
     b = h_a_s.shape[1]
 
@@ -180,8 +180,7 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
     prev_y0 = hist_s[17:18]
     h_a, h_b, hist, prev_e, prev_y = jax.lax.fori_loop(
         0, C.FRAME_SIZE, step,
-        (h_a_s[:ha], h_b_s[:hb], hist_s[:16], prev_e0, prev_y0),
-        unroll=unroll)
+        (h_a_s[:ha], h_b_s[:hb], hist_s[:16], prev_e0, prev_y0))
     h_a_s[:ha] = h_a
     h_b_s[:hb] = h_b
     hist_s[:16] = hist
@@ -232,8 +231,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
                     deemphasis: float = 0.85,
                     dtype=jnp.bfloat16,
                     gru_a_pattern=None,
-                    interpret: bool = False,
-                    unroll: int = 1) -> jax.Array:
+                    interpret: bool = False) -> jax.Array:
     """Drop-in replacement for lpcnet.generate using the fused kernel.
 
     feat (B, L, 20), periods (B, L) int, lpc (B, L, 16) -> (B, L*160).
@@ -321,8 +319,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     kernel = functools.partial(
         _kernel, ha=ha, hb=hb, levels=levels, deemph=deemphasis,
         u2l_base=u2l_base, acc_dtype=dtype,
-        gru_a_pattern=pattern, sparse_block=sparse_block,
-        unroll=unroll)
+        gru_a_pattern=pattern, sparse_block=sparse_block)
 
     out = pl.pallas_call(
         kernel,
