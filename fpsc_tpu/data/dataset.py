@@ -97,7 +97,8 @@ class Dataset:
     def __len__(self) -> int:
         return len(self.items)
 
-    def _crop(self, utt: Utterance, rng: np.random.RandomState):
+    def _crop(self, utt: Utterance, rng: np.random.RandomState,
+              head: bool = False):
         chunks = self.chunks
         wav = utt.waveform
         windows = utt.windows
@@ -107,7 +108,13 @@ class Dataset:
             wav = np.concatenate([wav, wav])
             windows = np.concatenate([windows, windows])
             nb *= 2
-        if self.task == "train":
+        if head:
+            # deterministic offset-0 crop: coded-feature dumps must
+            # stay aligned with the waveform head so coded_dataset can
+            # pair them for the vocoder finetune (the reference pins a
+            # fixed offset for the same reason, dataset.py:64-66)
+            i = 0
+        elif self.task == "train":
             i = rng.randint(nb - chunks) if nb > chunks else 0
         else:
             i = nb - chunks if nb > chunks else 0
@@ -117,6 +124,8 @@ class Dataset:
             if x.shape[0] < chunks * C.SAMPLES_PER_CHUNK:
                 x = np.pad(x, (0, chunks * C.SAMPLES_PER_CHUNK - x.shape[0]))
             feat = f32mod.flatten_windows(windows[i:i + chunks])
+            if head:
+                break              # alignment beats the redraw guard
             if np.abs(x).max() == 0 or np.isnan(feat).any():
                 i = rng.randint(nb - chunks) if (
                     self.task == "train" and nb > chunks) else (i + 1) % nb
@@ -129,11 +138,12 @@ class Dataset:
         idx = rng.randint(len(self.items), size=batch_size)
         return self.gather(idx, rng)
 
-    def gather(self, idx, rng: np.random.RandomState):
+    def gather(self, idx, rng: np.random.RandomState,
+               head: bool = False):
         xs, feats, names = [], [], []
         for i in idx:
             utt = self.items[int(i)]
-            x, feat = self._crop(utt, rng)
+            x, feat = self._crop(utt, rng, head=head)
             xs.append(x)
             feats.append(feat)
             names.append(utt.name)
@@ -145,12 +155,16 @@ class Dataset:
                 "nm_feat": feat / C.MAXI}
 
     def iter_batches(self, batch_size: int, seed: int,
-                     drop_remainder: bool = True
+                     drop_remainder: bool = True,
+                     head: bool = False
                      ) -> Iterator[Dict[str, np.ndarray]]:
+        """head=True yields deterministic offset-0 crops (coded-feature
+        dumps that must stay waveform-aligned for the vocoder
+        finetune)."""
         rng = np.random.RandomState(seed)
         order = rng.permutation(len(self.items))
         for s in range(0, len(order) - batch_size + 1, batch_size):
-            yield self.gather(order[s:s + batch_size], rng)
+            yield self.gather(order[s:s + batch_size], rng, head=head)
 
 
 def substitute_qtz_pitch(feat: np.ndarray) -> np.ndarray:

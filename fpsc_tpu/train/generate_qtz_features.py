@@ -67,8 +67,12 @@ def run(cfg: Config, max_utterances: int = 1000,
     # quantize_pitch expects RAW-scale pitch features
     pitch_scale = C.MAXI if cfg.data.normalize else 1.0
 
+    # head-aligned deterministic crops: the saved coded windows must
+    # pair with the waveform HEAD for train_lpcnet.coded_dataset (the
+    # reference pins a fixed dataset offset for the same reason,
+    # dataset.py:64-66)
     for batch in ds.iter_batches(min(cfg.data.batch_size, len(ds)),
-                                 seed=0):
+                                 seed=0, head=True):
         feat = jnp.asarray(predictor_inputs(batch, cfg.data.normalize))
         enc = encode(params, codebooks, feat,
                      l1=cfg.codec.l1, l2=cfg.codec.l2)

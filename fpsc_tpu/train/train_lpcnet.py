@@ -105,8 +105,12 @@ def build_optimizer(cfg: Config, params):
     return tx
 
 
-def run(cfg: Config, data_dir: Optional[str] = None
+def run(cfg: Config, data_dir: Optional[str] = None,
+        init_params: Optional[lpcnet.LPCNetParams] = None
         ) -> Tuple[lpcnet.LPCNetParams, float]:
+    """init_params warm-starts in-process (e.g. coded-feature finetune
+    of a clean-trained model, the external --quantize pattern);
+    train.transfer_model does the same from a checkpoint."""
     mesh = meshlib.make_mesh()
     mcfg = lpcnet.LPCNetConfig(
         gru_a_units=cfg.lpcnet.gru_a_units,
@@ -116,7 +120,14 @@ def run(cfg: Config, data_dir: Optional[str] = None
         levels=cfg.lpcnet.levels,
         frame_kernel=cfg.lpcnet.frame_kernel,
     )
-    params = lpcnet.init_lpcnet(jax.random.PRNGKey(cfg.train.seed), mcfg)
+    if init_params is not None:
+        # deep-copy: train_step donates its param buffers, which would
+        # otherwise delete the caller's arrays out from under it
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), init_params)
+    else:
+        params = lpcnet.init_lpcnet(jax.random.PRNGKey(cfg.train.seed),
+                                    mcfg)
 
     if cfg.train.transfer_model:
         payload = ckpt.load(ckpt.checkpoint_path(

@@ -79,6 +79,33 @@ def test_frontend_cepstra_invert_through_ceps2lpc():
     assert gain_chain > 3.0, f"chain prediction gain too low: {gain_chain}"
 
 
+def test_head_aligned_batches_pair_with_waveform_head():
+    """head=True crops deterministically at offset 0, so coded-feature
+    dumps stay aligned with the waveform for the vocoder finetune
+    (train_lpcnet.coded_dataset pairs windows with utt.waveform[:n*2400];
+    the round-2 bug was generate_qtz_features saving RANDOM crops)."""
+    from fpsc_tpu.data.dataset import build_dataset
+    from fpsc_tpu.data import f32 as f32mod
+    cfg = Config()
+    apply_overrides(cfg, ["data.synthetic=true",
+                          "data.synthetic_utterances=3",
+                          "data.chunks=2", "data.batch_size=3"])
+    ds = build_dataset(cfg.data, "train")
+    batch = next(ds.iter_batches(3, seed=0, head=True))
+    by_name = {u.name: u for u in ds.items}
+    for i, name in enumerate(batch["name"]):
+        utt = by_name[name]
+        np.testing.assert_array_equal(
+            batch["x"][i], utt.waveform[:2 * 2400])
+        np.testing.assert_array_equal(
+            batch["feat"][i], f32mod.flatten_windows(utt.windows[:2]))
+    # random crops (default) do move
+    b2 = next(ds.iter_batches(3, seed=1, head=False))
+    assert any(not np.array_equal(b2["x"][i],
+                                  by_name[b2["name"][i]].waveform[:4800])
+               for i in range(3))
+
+
 def test_synthetic_dataset_batches():
     cfg = Config()
     apply_overrides(cfg, ["data.synthetic=true",
