@@ -108,6 +108,19 @@ def test_excitation_definition():
     np.testing.assert_allclose(np.asarray(exc), want, rtol=1e-6)
 
 
+def test_lpc_synthesis_inverts_excitation():
+    """The decoder-side synthesis IIR reconstructs x from (exc, lpc).
+    Exact inverse except the first samples: excitation() inherits the
+    reference's roll() WRAPAROUND (exc[0] folds in pred[T-1],
+    src/train.py:126), so the boundary error decays through the IIR."""
+    x = (RNG.randn(2, 480) * 0.3).astype(np.float32)
+    a = (RNG.randn(2, 3, 16) * 0.05).astype(np.float32)
+    exc, _ = lpcmod.excitation(jnp.asarray(x), jnp.asarray(a))
+    x_rec = np.asarray(lpcmod.lpc_synthesis(exc, jnp.asarray(a)))
+    np.testing.assert_allclose(x_rec[:, 32:], x[:, 32:],
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_mulaw_roundtrip_and_oracle():
     x = (RNG.uniform(-1, 1, 1000) * 32767).astype(np.float32)
     u = np.asarray(mulaw.l2u(jnp.asarray(x)))
