@@ -152,13 +152,16 @@ _PITCH_ESCAPE = 2 * _PITCH_DELTA_RANGE            # symbol 64
 
 
 def _utterance_models(sizes: Dict, static_models: Dict = None) -> Dict:
+    # indicators and the corr code are strongly temporally correlated:
+    # condition each on its previous symbol (one adaptive table per
+    # context), worth ~100 b/s over the order-0 models
     m = {
-        "ind1": AdaptiveFreqTable(2),
-        "ind2": AdaptiveFreqTable(2),
+        "ind1": [AdaptiveFreqTable(2) for _ in range(2)],
+        "ind2": [AdaptiveFreqTable(2) for _ in range(2)],
         "scl": AdaptiveFreqTable(sizes["scl"]),
         "pitch_abs": FreqTable(np.ones(256)),
         "pitch_delta": AdaptiveFreqTable(_PITCH_ESCAPE + 1),
-        "corr": AdaptiveFreqTable(8),
+        "corr": [AdaptiveFreqTable(8) for _ in range(8)],
     }
     if sizes.get("scl_bl"):
         m["scl_bl"] = AdaptiveFreqTable(sizes["scl_bl"])
@@ -199,10 +202,11 @@ def pack_utterance_rc(ind1, ind2, indices: Dict, pcodes,
     ivq_bl = np.atleast_2d(np.asarray(indices["vq_bl"]))
     pcodes = np.asarray(pcodes)
     length = len(ind1)
-    prev_p = 0
+    prev_p, prev_c, prev_i1, prev_i2 = 0, 0, 0, 0
     for t in range(length):
-        _code_adaptive(enc, models["ind1"], ind1[t], False)
-        _code_adaptive(enc, models["ind2"], ind2[t], False)
+        _code_adaptive(enc, models["ind1"][prev_i1], ind1[t], False)
+        _code_adaptive(enc, models["ind2"][prev_i2], ind2[t], False)
+        prev_i1, prev_i2 = int(ind1[t]), int(ind2[t])
         p = int(pcodes[t, 0])
         if t == 0:
             enc.encode(models["pitch_abs"], p)
@@ -216,7 +220,9 @@ def pack_utterance_rc(ind1, ind2, indices: Dict, pcodes,
                                _PITCH_ESCAPE, False)
                 enc.encode(models["pitch_abs"], p)
         prev_p = p
-        _code_adaptive(enc, models["corr"], int(pcodes[t, 1]), False)
+        c = int(pcodes[t, 1])
+        _code_adaptive(enc, models["corr"][prev_c], c, False)
+        prev_c = c
         if ind1[t]:
             _code_adaptive(enc, models["scl"], int(iscl[t]), False)
         elif "scl_bl" in models:
@@ -251,10 +257,13 @@ def unpack_utterance_rc(data: bytes, sizes: Dict,
     ivq = np.full((length, max(n_vq, 1)), -1, np.int32)
     ivq_bl = np.full((length, max(n_vq_bl, 1)), -1, np.int32)
     pcodes = np.zeros((length, 2), np.int64)
-    prev_p = 0
+    prev_p, prev_c, prev_i1, prev_i2 = 0, 0, 0, 0
     for t in range(length):
-        ind1[t] = bool(_code_adaptive(dec, models["ind1"], 0, True))
-        ind2[t] = bool(_code_adaptive(dec, models["ind2"], 0, True))
+        ind1[t] = bool(_code_adaptive(dec, models["ind1"][prev_i1],
+                                      0, True))
+        ind2[t] = bool(_code_adaptive(dec, models["ind2"][prev_i2],
+                                      0, True))
+        prev_i1, prev_i2 = int(ind1[t]), int(ind2[t])
         if t == 0:
             p = dec.decode(models["pitch_abs"])
         else:
@@ -265,7 +274,9 @@ def unpack_utterance_rc(data: bytes, sizes: Dict,
                 p = prev_p + sym - _PITCH_DELTA_RANGE
         pcodes[t, 0] = p
         prev_p = p
-        pcodes[t, 1] = _code_adaptive(dec, models["corr"], 0, True)
+        pcodes[t, 1] = _code_adaptive(dec, models["corr"][prev_c],
+                                      0, True)
+        prev_c = int(pcodes[t, 1])
         if ind1[t]:
             iscl[t] = _code_adaptive(dec, models["scl"], 0, True)
         elif "scl_bl" in models:

@@ -113,11 +113,20 @@ def test_lpc_synthesis_inverts_excitation():
     Exact inverse except the first samples: excitation() inherits the
     reference's roll() WRAPAROUND (exc[0] folds in pred[T-1],
     src/train.py:126), so the boundary error decays through the IIR."""
-    x = (RNG.randn(2, 480) * 0.3).astype(np.float32)
-    a = (RNG.randn(2, 3, 16) * 0.05).astype(np.float32)
+    rng = np.random.RandomState(17)     # local: arbitrary random LPC
+    x = (rng.randn(2, 480) * 0.3).astype(np.float32)
+    # STABLE synthesis filters (real LPC from the Levinson chain, as
+    # in production); arbitrary random coefficients can put IIR poles
+    # outside the unit circle and amplify the t=0 boundary error
+    from fpsc_tpu.dsp.ceps2lpc import ceps2lpc
+    cep = (rng.randn(6, 18) * 0.4).astype(np.float32)
+    _, lpc, _ = ceps2lpc(jnp.asarray(cep))
+    a = np.asarray(lpc).reshape(2, 3, 16)
     exc, _ = lpcmod.excitation(jnp.asarray(x), jnp.asarray(a))
     x_rec = np.asarray(lpcmod.lpc_synthesis(exc, jnp.asarray(a)))
-    np.testing.assert_allclose(x_rec[:, 32:], x[:, 32:],
+    # realistic (high-Q) filters ring the boundary error down slowly;
+    # converged by one frame
+    np.testing.assert_allclose(x_rec[:, 160:], x[:, 160:],
                                rtol=1e-3, atol=1e-4)
 
 
