@@ -20,8 +20,10 @@ Consequences:
   of 128 (for the production GRU_A 384/1152),
 * the three mu-law embeddings are gathered with (E, 256) @ one-hot
   (256, B) matmuls (TPU has no vector gather) and hit the input weight
-  as one (3H, 3E) matmul - measured faster than the precomputed
-  (3H, 768) product-table formulation,
+  as one (3H, 3E) matmul - measured faster than BOTH single-matmul
+  consolidations: the (3H, 768) product table (round 1) and the
+  (3E, 768) block-diagonal embedding (round 2: 12-13% slower at
+  batch 128; the 3x MAC growth costs more than the saved op issues),
 * the sampling CDF is a log-step roll cumsum on the VPU; mu-law
   decode is a masked diff-row reduction.
 
