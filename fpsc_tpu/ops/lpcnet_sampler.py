@@ -27,6 +27,26 @@ Consequences:
 * the sampling CDF is a log-step roll cumsum on the VPU; mu-law
   decode is a masked diff-row reduction.
 
+Chain-shortening variants measured NEGATIVE on v5e at batch 128
+(dense baseline 1930-1950x the day of measurement; all were exact
+f32-reorderings verified bit-identical in interpret mode first):
+
+* carried x/e embedding contribution + (3H, 256) pred-path product
+  table: 1471x - the (3Ha, B) f32 loop carry spills vector registers,
+* fused [W_h_a; W_i_b] @ h_a with carried recurrent half: 1708x - the
+  big matmul moves onto the sampling-feedback critical path,
+* fused [W_h_b; W_fc] @ h_b: 1926x (flat to slightly negative),
+* bf16 prefix-sum (static slice+zero-concat shifts; Mosaic has no
+  sub-32-bit rotate): 1861x - the concat copies cost more than the
+  halved VPU traffic saves.
+
+Block-sparse GRU_A saturates ~2150x: diag-only (64, 64) patterns
+(16.7% live) and (64, 128) at 33% live both hit ~2150x, while
+(32, 32) blocks at 10% live DROP to ~2008x (per-block op overhead
+exceeds the saved MACs).  The remaining step time is distributed
+across op-issue overhead and the serial sample feedback, not any
+single removable op.
+
 Grid = one step per 10 ms frame (sequential); frame-rate inputs
 (conditioning contributions, LPC, sharpening temperature, uniforms)
 stream in per-frame via BlockSpecs; GRU states / LPC history persist
