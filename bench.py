@@ -57,18 +57,31 @@ def main():
 
     rtf_dense = measure(params)
 
-    # deployed default: the production sparse model (LPCNet practice
-    # trains GRU_A's recurrent matrix to ~0.2 block density with the
-    # cubic ramp - lpcnet.sparsify_gru_a / train_lpcnet wiring,
-    # quality-verified in scripts/validate_sparse.py); the kernel
-    # skips the dead (64, 64) blocks of the recurrent matmul.
+    # production sparse model (LPCNet practice trains GRU_A's
+    # recurrent matrix to ~0.2 block density with the cubic ramp -
+    # lpcnet.sparsify_gru_a / train_lpcnet wiring, quality-verified in
+    # scripts/validate_sparse.py); the kernel skips the dead (64, 64)
+    # blocks of the recurrent matmul.
     from fpsc_tpu.ops.lpcnet_sampler import derive_block_pattern
 
     sparse_params = lpcnet.sparsify_gru_a(params, 0.2, block=(64, 64))
     pattern = derive_block_pattern(sparse_params.gru_a.wh, (64, 64))
     rtf_sparse = measure(sparse_params, pattern)
 
-    rtf = max(rtf_dense, rtf_sparse)
+    # deployed default: bunched sampling (one recurrent step per
+    # sample PAIR, models/lpcnet_bunched.py; quality-verified in
+    # scripts/validate_bunched.py, whose validated config widens
+    # GRU_B to 32) + sparse GRU_A.
+    from fpsc_tpu.models import lpcnet_bunched
+
+    bcfg = lpcnet.LPCNetConfig(gru_b_units=32)
+    bparams = lpcnet_bunched.init_bunched(jax.random.PRNGKey(0), bcfg)
+    bparams = lpcnet_bunched.sparsify_gru_a(bparams, 0.2,
+                                            block=(64, 64))
+    bpattern = derive_block_pattern(bparams.base.gru_a.wh, (64, 64))
+    rtf_bunched = measure(bparams, bpattern)
+
+    rtf = max(rtf_dense, rtf_sparse, rtf_bunched)
     print(json.dumps({
         "metric": "lpcnet_synthesis_aggregate_rtf",
         "value": round(rtf, 1),
@@ -76,6 +89,7 @@ def main():
         "vs_baseline": round(rtf / 500.0, 3),
         "dense_rtf": round(rtf_dense, 1),
         "sparse_rtf_d0.2": round(rtf_sparse, 1),
+        "bunched_sparse_rtf": round(rtf_bunched, 1),
     }))
 
 

@@ -85,6 +85,9 @@ class LPCNetConfig:
     cond_units: int = 128
     frame_kernel: int = 3
     levels: int = 256               # mu-law levels
+    # samples emitted per recurrent step: 1 = plain LPCNet, 2 = bunched
+    # (models/lpcnet_bunched.py - halves the sequential GRU steps)
+    bunch: int = 1
     # GRU_A recurrent block sparsification (1.0 = dense); the cubic
     # ramp runs between the two step counts (LPCNet training practice)
     gru_a_density: float = 1.0

@@ -1,0 +1,254 @@
+"""Bunched LPCNet: one sample-net step emits TWO samples.
+
+The fused sampler is dependency-latency bound (see
+fpsc_tpu/ops/lpcnet_sampler.py: every micro-optimisation of the step
+body measured negative), so the remaining speed lever is ALGORITHMIC -
+halve the number of sequential recurrent steps.  Sample bunching
+(after Vipperla et al., "Bunched LPCNet", Interspeech 2020) runs
+GRU_A/GRU_B once per PAIR of samples and factorises the pair
+autoregressively:
+
+  P(e_2k, e_2k+1 | past) = P(e_2k | h_b) * P(e_2k+1 | h_b, x_2k, p_2k+1)
+
+* GRU_A consumes the mu-law embeddings of BOTH previous samples and
+  BOTH previous excitations plus the LPC prediction of the first
+  sample of the pair: input = [emb(x_2k-2), emb(x_2k-1), emb(e_2k-2),
+  emb(e_2k-1), emb(p_2k)] + conditioning (5E + cond wide vs 3E + cond
+  dense - the recurrent matmuls halve, the input widens by 2E).
+* Head 1 is the usual dual FC on h_b -> P(e_2k).
+* Head 2 is a dual FC on [h_b, emb(x_2k), emb(p_2k+1)] -> P(e_2k+1):
+  the second sample conditions on the realised first sample and its
+  own LPC prediction, so the factorisation stays exactly
+  autoregressive (no independence approximation; the capacity cost is
+  only that the GRU state does not update between the two samples).
+
+This is a beyond-reference capability (the reference's vocoder is
+plain LPCNet, reference README.md:13-15); quality is validated against
+the unbunched model at equal training budget in
+scripts/validate_bunched.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.dsp import constants as C
+from fpsc_tpu.dsp.mulaw import l2u_index, u2l
+from fpsc_tpu.models import lpcnet
+from fpsc_tpu.models.common import DenseParams, dense, embedding, init_dense
+from fpsc_tpu.models.gru import _gates, gru_scan, init_gru
+
+
+class BunchedParams(NamedTuple):
+    base: lpcnet.LPCNetParams        # gru_a sized for the 5E+cond input
+    fc3: DenseParams                 # head-2 dual FC branch 1
+    fc4: DenseParams                 # head-2 dual FC branch 2
+
+
+def init_bunched(key: jax.Array,
+                 cfg: lpcnet.LPCNetConfig = lpcnet.LPCNetConfig()
+                 ) -> BunchedParams:
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    base = lpcnet.init_lpcnet(k0, cfg)
+    gru_a_in = 5 * cfg.embed_dim + cfg.cond_units
+    base = base._replace(gru_a=init_gru(k1, gru_a_in, cfg.gru_a_units))
+    h2_in = cfg.gru_b_units + 2 * cfg.embed_dim
+    return BunchedParams(
+        base=base,
+        fc3=init_dense(k2, h2_in, cfg.levels),
+        fc4=init_dense(k3, h2_in, cfg.levels),
+    )
+
+
+def _pair_streams(x: jax.Array, exc: jax.Array, pred: jax.Array
+                  ) -> Tuple[jax.Array, ...]:
+    """(B, T) streams -> per-pair views (B, K, 2), K = T // 2."""
+    b, t = x.shape
+    k = t // 2
+    return (x.reshape(b, k, 2), exc.reshape(b, k, 2),
+            pred.reshape(b, k, 2))
+
+
+def forward(params: BunchedParams, feat: jax.Array, periods: jax.Array,
+            x: jax.Array, exc: jax.Array, pred: jax.Array
+            ) -> Tuple[jax.Array, jax.Array]:
+    """Teacher-forced logits for both heads: ((B, K, 256), (B, K, 256)).
+
+    x, exc, pred: (B, T) linear-scale streams with the same alignment
+    as lpcnet.forward (pred[t] = LPC prediction of x[t] from PAST
+    samples only)."""
+    base = params.base
+    cond = lpcnet.frame_net(base, feat, periods)
+    # both samples of a pair share the frame conditioning
+    cond_p = jnp.repeat(cond, C.FRAME_SIZE // 2, axis=1)  # (B, K, c)
+
+    xb, eb, pb = _pair_streams(x, exc, pred)
+    prev_x2 = jnp.roll(xb[:, :, 0], 1, axis=1).at[:, 0].set(0.0)
+    prev_x1 = jnp.roll(xb[:, :, 1], 1, axis=1).at[:, 0].set(0.0)
+    prev_e2 = jnp.roll(eb[:, :, 0], 1, axis=1).at[:, 0].set(0.0)
+    prev_e1 = jnp.roll(eb[:, :, 1], 1, axis=1).at[:, 0].set(0.0)
+
+    def emb(v):
+        return embedding(base.sample_emb, l2u_index(v * 32768.0))
+
+    inp = jnp.concatenate([
+        emb(prev_x2), emb(prev_x1), emb(prev_e2), emb(prev_e1),
+        emb(pb[:, :, 0]), cond_p], axis=-1)
+    ya, _ = gru_scan(base.gru_a, inp)
+    yb, _ = gru_scan(base.gru_b,
+                     jnp.concatenate([ya, cond_p], axis=-1))
+    logits1 = (jnp.tanh(dense(base.fc1, yb))
+               + jnp.tanh(dense(base.fc2, yb)))
+    h2in = jnp.concatenate([yb, emb(xb[:, :, 0]), emb(pb[:, :, 1])],
+                           axis=-1)
+    logits2 = (jnp.tanh(dense(params.fc3, h2in))
+               + jnp.tanh(dense(params.fc4, h2in)))
+    return logits1, logits2
+
+
+def loss_fn(params: BunchedParams, feat, periods, x, lpc) -> jax.Array:
+    """Mean CE over both heads (teacher forced); stream alignment
+    identical to lpcnet.loss_fn."""
+    exc, pred_t = lpcnet.teacher_streams(x, lpc)
+    logits1, logits2 = forward(params, feat, periods, x, exc, pred_t)
+    _, eb, _ = _pair_streams(x, exc, pred_t)
+    t1 = l2u_index(eb[:, :, 0] * 32768.0)
+    t2 = l2u_index(eb[:, :, 1] * 32768.0)
+    nll = 0.0
+    for logits, tgt in ((logits1, t1), (logits2, t2)):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll += -jnp.mean(
+            jnp.take_along_axis(logp, tgt[..., None], axis=-1))
+    return nll / 2.0
+
+
+def sparsify_gru_a(params: BunchedParams, density: float,
+                   block=(16, 32)) -> BunchedParams:
+    """Block-sparsify the base model's GRU_A recurrent weights."""
+    return params._replace(
+        base=lpcnet.sparsify_gru_a(params.base, density, block))
+
+
+# --------------------------------------------------------------------------
+# Autoregressive synthesis (XLA oracle; the production path is the
+# bunch=2 mode of ops/lpcnet_sampler.pallas_generate)
+# --------------------------------------------------------------------------
+
+def _sample_step(logits, temp, u, u2l_table):
+    """Shared sampling arithmetic - mirrors the Pallas kernel exactly
+    (unnormalised exp, Z-scaled tail cut, Hillis-Steele prefix sum,
+    total = last prefix element) so both samplers flip identically."""
+    p = jnp.exp(logits * temp)
+    z = jnp.sum(p, axis=-1, keepdims=True)
+    pcut = jnp.maximum(p - 0.002 * z, 0.0)
+    n_lvl = pcut.shape[-1]
+    cdf = pcut
+    k = 1
+    while k < n_lvl:
+        cdf = cdf + jnp.where(jnp.arange(n_lvl) >= k,
+                              jnp.roll(cdf, k, axis=-1), 0.0)
+        k *= 2
+    total = cdf[:, -1:]
+    e_idx = jnp.sum((cdf < u * total).astype(jnp.int32), axis=-1)
+    return u2l_table[e_idx]
+
+
+def generate(params: BunchedParams, feat: jax.Array, periods: jax.Array,
+             lpc: jax.Array, key: jax.Array,
+             corr: Optional[jax.Array] = None,
+             deemphasis: float = 0.85,
+             unroll: int = 4) -> jax.Array:
+    """Batched bunched synthesis; contract matches lpcnet.generate
+    (same feature conventions, same (L, B, 160) uniform stream layout
+    consumed two per pair)."""
+    base = params.base
+    b, length, _ = feat.shape
+    cond = lpcnet.frame_net(base, feat, periods)
+    if corr is None:
+        corr = jnp.clip(feat[..., 19] * C.MAXI, -0.5, 0.5)
+
+    emb_t = base.sample_emb.table
+    e_dim = emb_t.shape[1]
+    wi_a = base.gru_a.wi
+    cond_a = jnp.matmul(cond, wi_a[:, 5 * e_dim:].T,
+                        preferred_element_type=jnp.float32) + base.gru_a.bi
+    wi_b = base.gru_b.wi
+    ha_units = base.gru_a.units
+    wi_b_h = wi_b[:, :ha_units]
+    cond_b = jnp.matmul(cond, wi_b[:, ha_units:].T,
+                        preferred_element_type=jnp.float32) + base.gru_b.bi
+
+    h_a = jnp.zeros((b, ha_units), jnp.float32)
+    h_b = jnp.zeros((b, base.gru_b.units), jnp.float32)
+    x_hist = jnp.zeros((b, C.LPC_ORDER), jnp.float32)
+    e_p2 = jnp.zeros((b,), jnp.float32)
+    e_p1 = jnp.zeros((b,), jnp.float32)
+    prev_y = jnp.zeros((b,), jnp.float32)
+
+    lpc_rev = lpc[..., ::-1]
+    uniforms = jnp.transpose(
+        jax.random.uniform(key, (length, b, C.FRAME_SIZE)),
+        (0, 2, 1))
+    # (L, 160, B) -> (L, 80, 2, B): pairs consume consecutive draws
+    uniforms = uniforms.reshape(length, C.FRAME_SIZE // 2, 2, b)
+    u2l_table = u2l(jnp.arange(256)) / 32768.0
+
+    def emb_rows(v):
+        return emb_t[l2u_index(v * 32768.0)]
+
+    frame_xs = {
+        "cond_a": jnp.swapaxes(cond_a, 0, 1),
+        "cond_b": jnp.swapaxes(cond_b, 0, 1),
+        "lpc": jnp.swapaxes(lpc_rev, 0, 1),
+        "corr": jnp.swapaxes(corr, 0, 1),
+        "u": uniforms,
+    }
+
+    def frame_step(carry, fx):
+        temp = 1.0 + jnp.maximum(0.0, 1.5 * fx["corr"] - 0.5)[:, None]
+
+        def pair_step(carry, u):
+            h_a, h_b, x_hist, e_p2, e_p1, prev_y = carry
+            pred1 = -jnp.sum(x_hist * fx["lpc"], axis=-1)
+            inp = jnp.concatenate([
+                emb_rows(x_hist[:, -2]), emb_rows(x_hist[:, -1]),
+                emb_rows(e_p2), emb_rows(e_p1), emb_rows(pred1)],
+                axis=-1)
+            pre_a = jnp.dot(inp, wi_a[:, :5 * e_dim].T,
+                            preferred_element_type=jnp.float32) + \
+                fx["cond_a"]
+            h_a = _gates(pre_a, h_a, base.gru_a.wh, base.gru_a.bh)
+            pre_b = jnp.dot(h_a, wi_b_h.T,
+                            preferred_element_type=jnp.float32) + \
+                fx["cond_b"]
+            h_b = _gates(pre_b, h_b, base.gru_b.wh, base.gru_b.bh)
+            logits1 = (jnp.tanh(dense(base.fc1, h_b))
+                       + jnp.tanh(dense(base.fc2, h_b)))
+            e1 = _sample_step(logits1, temp, u[0][:, None], u2l_table)
+            x1 = pred1 + e1
+            x_hist = jnp.concatenate([x_hist[:, 1:], x1[:, None]],
+                                     axis=1)
+            pred2 = -jnp.sum(x_hist * fx["lpc"], axis=-1)
+            h2in = jnp.concatenate(
+                [h_b, emb_rows(x1), emb_rows(pred2)], axis=-1)
+            logits2 = (jnp.tanh(dense(params.fc3, h2in))
+                       + jnp.tanh(dense(params.fc4, h2in)))
+            e2 = _sample_step(logits2, temp, u[1][:, None], u2l_table)
+            x2 = pred2 + e2
+            x_hist = jnp.concatenate([x_hist[:, 1:], x2[:, None]],
+                                     axis=1)
+            y1 = x1 + deemphasis * prev_y
+            y2 = x2 + deemphasis * y1
+            return ((h_a, h_b, x_hist, e1, e2, y2),
+                    jnp.stack([y1, y2]))
+
+        carry, ys = jax.lax.scan(pair_step, carry, fx["u"],
+                                 unroll=unroll)
+        return carry, ys
+
+    _, ys = jax.lax.scan(
+        frame_step, (h_a, h_b, x_hist, e_p2, e_p1, prev_y), frame_xs)
+    # ys: (L, 80, 2, B) -> (B, T)
+    return jnp.transpose(ys.reshape(length * C.FRAME_SIZE, b), (1, 0))

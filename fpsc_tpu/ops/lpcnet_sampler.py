@@ -84,11 +84,15 @@ def _l2u_rows(v):
 def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             emb_ref, wiemb_ref, wh_a_ref, bh_a_ref, wi_b_ref,
             wh_b_ref, bh_b_ref,
-            fc1_ref, fc1b_ref, u2l_ref, out_ref,
-            h_a_s, h_b_s, hist_s,
-            *, ha: int, hb: int, levels: int, deemph: float,
+            fc1_ref, fc1b_ref, u2l_ref, *refs,
+            ha: int, hb: int, levels: int, deemph: float,
             u2l_base: float, acc_dtype, gru_a_pattern=None,
-            sparse_block=(128, 128)):
+            sparse_block=(128, 128), bunch: int = 1):
+    if bunch == 2:
+        # head-2 dual FC: stacked (2*levels, hb + 2E) weight + bias
+        fch_ref, fchb_ref = refs[0], refs[1]
+        refs = refs[2:]
+    out_ref, h_a_s, h_b_s, hist_s = refs
     f = pl.program_id(0)
     b = h_a_s.shape[1]
 
@@ -104,6 +108,13 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
     temp = temp_ref[0]              # (1, B) f32 sharpening temperature
     iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (levels, b), 0)
 
+    def emb_of(idx_rows):
+        """mu-law embedding via one-hot matmul: (1, B) -> (E, B)."""
+        return jnp.dot(
+            emb_ref[:],
+            (iota_lvl == idx_rows.astype(jnp.int32)).astype(acc_dtype),
+            preferred_element_type=jnp.float32)
+
     def gates(pre, gh, h, width):
         # exact f32 nonlinearities (bf16 and Pade-approx variants were
         # measured: no win on this part, so keep fidelity)
@@ -112,59 +123,30 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         n = jnp.tanh(pre[2 * width:] + r * gh[2 * width:])
         return (1.0 - z) * n + z * h
 
-    def step(t, carry):
-        h_a, h_b, hist, prev_e, prev_y = carry
-        pred = -jnp.sum(hist * lpc_rev, axis=0, keepdims=True)  # (1,B)
-
-        ix = _l2u_rows(hist[15:16])
-        ie = _l2u_rows(prev_e)
-        ip = _l2u_rows(pred)
-        emb_t = emb_ref[:]
-        e_cat = jnp.concatenate([
-            jnp.dot(emb_t, (iota_lvl == ix.astype(jnp.int32)
-                            ).astype(acc_dtype),
-                    preferred_element_type=jnp.float32),
-            jnp.dot(emb_t, (iota_lvl == ie.astype(jnp.int32)
-                            ).astype(acc_dtype),
-                    preferred_element_type=jnp.float32),
-            jnp.dot(emb_t, (iota_lvl == ip.astype(jnp.int32)
-                            ).astype(acc_dtype),
-                    preferred_element_type=jnp.float32),
-        ], axis=0).astype(acc_dtype)                          # (3E, B)
-        pre_a = jnp.dot(wiemb_ref[:], e_cat,
-                        preferred_element_type=jnp.float32) + cond_a
+    def recurrent_a(h_a):
         if gru_a_pattern is None:
-            gh_a = jnp.dot(wh_a_ref[:], h_a.astype(acc_dtype),
+            return jnp.dot(wh_a_ref[:], h_a.astype(acc_dtype),
                            preferred_element_type=jnp.float32)
-        else:
-            # static block-sparse recurrent matmul: only the live
-            # (rb, cb) blocks of W_h are computed (the pattern comes
-            # from lpcnet.sparsify_gru_a-style training)
-            rb_sz, cb_sz = sparse_block
-            h16 = h_a.astype(acc_dtype)
-            rows = []
-            for rb, cols in enumerate(gru_a_pattern):
-                acc = jnp.zeros((rb_sz, b), jnp.float32)
-                for cb in cols:
-                    w_blk = wh_a_ref[rb * rb_sz:(rb + 1) * rb_sz,
-                                     cb * cb_sz:(cb + 1) * cb_sz]
-                    acc = acc + jnp.dot(
-                        w_blk, h16[cb * cb_sz:(cb + 1) * cb_sz],
-                        preferred_element_type=jnp.float32)
-                rows.append(acc)
-            gh_a = jnp.concatenate(rows, axis=0)
-        gh_a = gh_a + bh_a_ref[:]
-        h_a = gates(pre_a, gh_a, h_a, ha)
+        # static block-sparse recurrent matmul: only the live
+        # (rb, cb) blocks of W_h are computed (the pattern comes
+        # from lpcnet.sparsify_gru_a-style training)
+        rb_sz, cb_sz = sparse_block
+        h16 = h_a.astype(acc_dtype)
+        rows = []
+        for rb, cols in enumerate(gru_a_pattern):
+            acc = jnp.zeros((rb_sz, b), jnp.float32)
+            for cb in cols:
+                w_blk = wh_a_ref[rb * rb_sz:(rb + 1) * rb_sz,
+                                 cb * cb_sz:(cb + 1) * cb_sz]
+                acc = acc + jnp.dot(
+                    w_blk, h16[cb * cb_sz:(cb + 1) * cb_sz],
+                    preferred_element_type=jnp.float32)
+            rows.append(acc)
+        return jnp.concatenate(rows, axis=0)
 
-        pre_b = jnp.dot(wi_b_ref[:], h_a.astype(acc_dtype),
-                        preferred_element_type=jnp.float32) + cond_b
-        gh_b = jnp.dot(wh_b_ref[:], h_b.astype(acc_dtype),
-                       preferred_element_type=jnp.float32) + bh_b_ref[:]
-        h_b = gates(pre_b, gh_b, h_b, hb)
-
-        # merged dual FC: one (2*levels, Hb) matmul, split + tanh + add
-        fcpre = jnp.dot(fc1_ref[:], h_b.astype(acc_dtype),
-                        preferred_element_type=jnp.float32) + fc1b_ref[:]
+    def draw(fcpre, u_t):
+        """Sampling tail: stacked dual-FC pre-activations + uniform ->
+        linear excitation (1, B)."""
         logits = (jnp.tanh(fcpre[:levels])
                   + jnp.tanh(fcpre[levels:]))                 # (256, B)
         # logits in [-2, 2] and temp clipped small: exp never overflows,
@@ -187,27 +169,96 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         # the cdf < u*total decision scale-coherent with cdf, so both
         # samplers flip identically; also one fewer reduction per step.
         total = cdf[levels - 1:levels]
-        u_t = u_ref[0, pl.ds(t, 1), :]                        # (1, B)
         thresh = u_t * total
         below = (cdf < thresh).astype(jnp.float32)            # (256, B)
-        e_lin = jnp.sum(below * u2l_ref[:], axis=0,
-                        keepdims=True) + u2l_base
+        return jnp.sum(below * u2l_ref[:], axis=0,
+                       keepdims=True) + u2l_base
+
+    def gru_chain(e_cat, h_a, h_b):
+        """GRU_A -> GRU_B -> stacked head-1 pre-activations."""
+        pre_a = jnp.dot(wiemb_ref[:], e_cat,
+                        preferred_element_type=jnp.float32) + cond_a
+        gh_a = recurrent_a(h_a) + bh_a_ref[:]
+        h_a = gates(pre_a, gh_a, h_a, ha)
+        pre_b = jnp.dot(wi_b_ref[:], h_a.astype(acc_dtype),
+                        preferred_element_type=jnp.float32) + cond_b
+        gh_b = jnp.dot(wh_b_ref[:], h_b.astype(acc_dtype),
+                       preferred_element_type=jnp.float32) + bh_b_ref[:]
+        h_b = gates(pre_b, gh_b, h_b, hb)
+        # merged dual FC: one (2*levels, Hb) matmul, split + tanh + add
+        fcpre = jnp.dot(fc1_ref[:], h_b.astype(acc_dtype),
+                        preferred_element_type=jnp.float32) + fc1b_ref[:]
+        return h_a, h_b, fcpre
+
+    def step(t, carry):
+        h_a, h_b, hist, prev_e, prev_y = carry
+        pred = -jnp.sum(hist * lpc_rev, axis=0, keepdims=True)  # (1,B)
+        e_cat = jnp.concatenate([
+            emb_of(_l2u_rows(hist[15:16])),
+            emb_of(_l2u_rows(prev_e)),
+            emb_of(_l2u_rows(pred)),
+        ], axis=0).astype(acc_dtype)                          # (3E, B)
+        h_a, h_b, fcpre = gru_chain(e_cat, h_a, h_b)
+        e_lin = draw(fcpre, u_ref[0, pl.ds(t, 1), :])
         sample = pred + e_lin
         hist = jnp.concatenate([hist[1:], sample], axis=0)
         y = sample + deemph * prev_y
         out_ref[0, pl.ds(t, 1), :] = y
         return h_a, h_b, hist, e_lin, y
 
-    prev_e0 = hist_s[16:17]
-    prev_y0 = hist_s[17:18]
-    h_a, h_b, hist, prev_e, prev_y = jax.lax.fori_loop(
-        0, C.FRAME_SIZE, step,
-        (h_a_s[:ha], h_b_s[:hb], hist_s[:16], prev_e0, prev_y0))
-    h_a_s[:ha] = h_a
-    h_b_s[:hb] = h_b
-    hist_s[:16] = hist
-    hist_s[16:17] = prev_e
-    hist_s[17:18] = prev_y
+    def step2(t, carry):
+        """Bunched pair step: one GRU chain, two sampled excitations
+        (models/lpcnet_bunched.py semantics)."""
+        h_a, h_b, hist, e_p2, e_p1, prev_y = carry
+        pred1 = -jnp.sum(hist * lpc_rev, axis=0, keepdims=True)
+        e_cat = jnp.concatenate([
+            emb_of(_l2u_rows(hist[14:15])),
+            emb_of(_l2u_rows(hist[15:16])),
+            emb_of(_l2u_rows(e_p2)),
+            emb_of(_l2u_rows(e_p1)),
+            emb_of(_l2u_rows(pred1)),
+        ], axis=0).astype(acc_dtype)                          # (5E, B)
+        h_a, h_b, fcpre1 = gru_chain(e_cat, h_a, h_b)
+        e1 = draw(fcpre1, u_ref[0, pl.ds(2 * t, 1), :])
+        x1 = pred1 + e1
+        hist = jnp.concatenate([hist[1:], x1], axis=0)
+        pred2 = -jnp.sum(hist * lpc_rev, axis=0, keepdims=True)
+        h2in = jnp.concatenate([
+            h_b.astype(acc_dtype),
+            emb_of(_l2u_rows(x1)).astype(acc_dtype),
+            emb_of(_l2u_rows(pred2)).astype(acc_dtype),
+        ], axis=0)                                            # (hb+2E, B)
+        fcpre2 = jnp.dot(fch_ref[:], h2in,
+                         preferred_element_type=jnp.float32) + fchb_ref[:]
+        e2 = draw(fcpre2, u_ref[0, pl.ds(2 * t + 1, 1), :])
+        x2 = pred2 + e2
+        hist = jnp.concatenate([hist[1:], x2], axis=0)
+        y1 = x1 + deemph * prev_y
+        y2 = x2 + deemph * y1
+        out_ref[0, pl.ds(2 * t, 2), :] = jnp.concatenate([y1, y2], axis=0)
+        return h_a, h_b, hist, e1, e2, y2
+
+    if bunch == 1:
+        h_a, h_b, hist, prev_e, prev_y = jax.lax.fori_loop(
+            0, C.FRAME_SIZE, step,
+            (h_a_s[:ha], h_b_s[:hb], hist_s[:16],
+             hist_s[16:17], hist_s[17:18]))
+        h_a_s[:ha] = h_a
+        h_b_s[:hb] = h_b
+        hist_s[:16] = hist
+        hist_s[16:17] = prev_e
+        hist_s[17:18] = prev_y
+    else:
+        h_a, h_b, hist, e_p2, e_p1, prev_y = jax.lax.fori_loop(
+            0, C.FRAME_SIZE // 2, step2,
+            (h_a_s[:ha], h_b_s[:hb], hist_s[:16],
+             hist_s[16:17], hist_s[17:18], hist_s[18:19]))
+        h_a_s[:ha] = h_a
+        h_b_s[:hb] = h_b
+        hist_s[:16] = hist
+        hist_s[16:17] = e_p2
+        hist_s[17:18] = e_p1
+        hist_s[18:19] = prev_y
 
 
 def derive_block_pattern(wh, block=(128, 128)):
@@ -268,8 +319,19 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     corr semantics match lpcnet.generate: RAW-scale pitch correlation;
     the default un-normalises feat[..., 19] by MAXI (feat is expected
     MAXI-normalised per the vocoder training convention).
+
+    Accepts either lpcnet.LPCNetParams (bunch=1, one sample per
+    recurrent step) or lpcnet_bunched.BunchedParams (bunch=2, one
+    recurrent step per PAIR of samples - models/lpcnet_bunched.py).
     """
     from fpsc_tpu.models.lpcnet import frame_net
+
+    bunched = hasattr(params, "base")      # BunchedParams
+    bunch = 2 if bunched else 1
+    head2 = params if bunched else None
+    if bunched:
+        params = params.base
+    n_emb = 2 * bunch + 1                  # embeddings into GRU_A
 
     b, length, _ = feat.shape
     levels = params.sample_emb.table.shape[0]
@@ -285,7 +347,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     emb = params.sample_emb.table
     wi_a = params.gru_a.wi
     hp = jax.lax.Precision.HIGHEST
-    cond_a = jnp.matmul(cond, wi_a[:, 3 * e_dim:].T,
+    cond_a = jnp.matmul(cond, wi_a[:, n_emb * e_dim:].T,
                         precision=hp) + params.gru_a.bi    # (B, L, 3Ha)
     wi_b = params.gru_b.wi
     cond_b = jnp.matmul(cond, wi_b[:, ha:].T,
@@ -331,7 +393,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     emb_t_op = emb.T.astype(dtype)
-    wiemb_op = wi_a[:, :3 * e_dim].astype(dtype)
+    wiemb_op = wi_a[:, :n_emb * e_dim].astype(dtype)
 
     if gru_a_pattern is not None:
         pattern, sparse_block = gru_a_pattern
@@ -341,21 +403,41 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     kernel = functools.partial(
         _kernel, ha=ha, hb=hb, levels=levels, deemph=deemphasis,
         u2l_base=u2l_base, acc_dtype=dtype,
-        gru_a_pattern=pattern, sparse_block=sparse_block)
+        gru_a_pattern=pattern, sparse_block=sparse_block, bunch=bunch)
+
+    in_specs = [
+        frame_spec(3 * ha),        # cond_a
+        frame_spec(3 * hb),        # cond_b
+        frame_spec(16),            # lpc
+        frame_spec(1),             # temp
+        frame_spec(C.FRAME_SIZE),  # uniforms
+        vmem, vmem, vmem, vmem,    # emb_t wi_emb wh_a bh_a
+        vmem, vmem, vmem,          # wi_b wh_b bh_b
+        vmem, vmem, vmem,          # fc_w fc_b u2l
+    ]
+    operands = [
+        cond_a_s.astype(dtype), cond_b_s.astype(dtype),
+        lpc_rev, temps, uniforms,
+        emb_t_op, wiemb_op,
+        params.gru_a.wh.astype(dtype),
+        params.gru_a.bh[:, None],
+        params.gru_b.wi[:, :ha].astype(dtype),
+        params.gru_b.wh.astype(dtype), params.gru_b.bh[:, None],
+        fc_w.astype(dtype), fc_b,
+        u2l_col,
+    ]
+    if bunched:
+        in_specs += [vmem, vmem]
+        operands += [
+            jnp.concatenate([head2.fc3.w, head2.fc4.w],
+                            axis=0).astype(dtype),
+            jnp.concatenate([head2.fc3.b, head2.fc4.b])[:, None],
+        ]
 
     out = pl.pallas_call(
         kernel,
         grid=(length,),
-        in_specs=[
-            frame_spec(3 * ha),        # cond_a
-            frame_spec(3 * hb),        # cond_b
-            frame_spec(16),            # lpc
-            frame_spec(1),             # temp
-            frame_spec(C.FRAME_SIZE),  # uniforms
-            vmem, vmem, vmem, vmem,    # emb_t wi_emb wh_a bh_a
-            vmem, vmem, vmem,          # wi_b wh_b bh_b
-            vmem, vmem, vmem,          # fc_w fc_b u2l
-        ],
+        in_specs=in_specs,
         out_specs=frame_spec(C.FRAME_SIZE),
         out_shape=jax.ShapeDtypeStruct(
             (length, C.FRAME_SIZE, b_pad), jnp.float32),
@@ -367,17 +449,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(
-        cond_a_s.astype(dtype), cond_b_s.astype(dtype),
-        lpc_rev, temps, uniforms,
-        emb_t_op, wiemb_op,
-        params.gru_a.wh.astype(dtype),
-        params.gru_a.bh[:, None],
-        params.gru_b.wi[:, :ha].astype(dtype),
-        params.gru_b.wh.astype(dtype), params.gru_b.bh[:, None],
-        fc_w.astype(dtype), fc_b,
-        u2l_col,
-    )
+    )(*operands)
     # (L, 160, B) -> (B, T)
     y = out[:, :, :b].reshape(length * C.FRAME_SIZE, b)
     return jnp.transpose(y, (1, 0))

@@ -70,36 +70,51 @@ def coded_dataset(coded_dir: str, base: Dataset) -> Dataset:
     return Dataset(items, base.chunks, base.task, base.normalize)
 
 
-def make_step(tx):
+def make_step(tx, loss_fn=None):
+    loss_fn = loss_fn or lpcnet.loss_fn
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, feat, periods, x, lpc):
-        loss, grads = jax.value_and_grad(lpcnet.loss_fn)(
+        loss, grads = jax.value_and_grad(loss_fn)(
             params, feat, periods, x, lpc)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
     def eval_step(params, feat, periods, x, lpc):
-        return lpcnet.loss_fn(params, feat, periods, x, lpc)
+        return loss_fn(params, feat, periods, x, lpc)
 
     return train_step, eval_step
 
 
+def _base_freeze_labels(base: lpcnet.LPCNetParams):
+    # freeze the sample-rate net; tune only the frame/conditioning
+    # net (reference train.py:259-265 / LPCNet --quantize pattern)
+    frame_fields = {"period_emb", "conv1", "conv1_b", "conv2",
+                    "conv2_b", "fdense1", "fdense2"}
+    return lpcnet.LPCNetParams(*[
+        jax.tree_util.tree_map(
+            lambda _: "train" if name in frame_fields else "freeze",
+            sub)
+        for name, sub in zip(lpcnet.LPCNetParams._fields, base)])
+
+
 def build_optimizer(cfg: Config, params):
+    from fpsc_tpu.models import lpcnet_bunched
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),
         optax.adam(cfg.train.learning_rate),
     )
     if cfg.train.upd_f_only:
-        # freeze the sample-rate net; tune only the frame/conditioning
-        # net (reference train.py:259-265 / LPCNet --quantize pattern)
-        frame_fields = {"period_emb", "conv1", "conv1_b", "conv2",
-                        "conv2_b", "fdense1", "fdense2"}
-        labels = lpcnet.LPCNetParams(*[
-            jax.tree_util.tree_map(
-                lambda _: "train" if name in frame_fields else "freeze",
-                sub)
-            for name, sub in zip(lpcnet.LPCNetParams._fields, params)])
+        if isinstance(params, lpcnet_bunched.BunchedParams):
+            labels = lpcnet_bunched.BunchedParams(
+                base=_base_freeze_labels(params.base),
+                fc3=jax.tree_util.tree_map(lambda _: "freeze",
+                                           params.fc3),
+                fc4=jax.tree_util.tree_map(lambda _: "freeze",
+                                           params.fc4))
+        else:
+            labels = _base_freeze_labels(params)
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx
@@ -120,11 +135,17 @@ def run(cfg: Config, data_dir: Optional[str] = None,
         levels=cfg.lpcnet.levels,
         frame_kernel=cfg.lpcnet.frame_kernel,
     )
+    from fpsc_tpu.models import lpcnet_bunched
+    bunched = cfg.lpcnet.bunch == 2
     if init_params is not None:
         # deep-copy: train_step donates its param buffers, which would
         # otherwise delete the caller's arrays out from under it
         params = jax.tree_util.tree_map(
             lambda x: jnp.array(x, copy=True), init_params)
+        bunched = isinstance(params, lpcnet_bunched.BunchedParams)
+    elif bunched:
+        params = lpcnet_bunched.init_bunched(
+            jax.random.PRNGKey(cfg.train.seed), mcfg)
     else:
         params = lpcnet.init_lpcnet(jax.random.PRNGKey(cfg.train.seed),
                                     mcfg)
@@ -148,13 +169,16 @@ def run(cfg: Config, data_dir: Optional[str] = None,
         train_ds = coded_dataset(data_dir, train_ds)
         print(f"finetuning on coded features from {data_dir} "
               f"({len(train_ds)} utterances)")
-    train_step, eval_step = make_step(tx)
+    train_step, eval_step = make_step(
+        tx, lpcnet_bunched.loss_fn if bunched else lpcnet.loss_fn)
 
     label = cfg.label + "_s"
     min_loss = float("inf")
     global_step = 0
-    sparsify = jax.jit(lpcnet.sparsify_gru_a,
-                       static_argnames=("density", "block"))
+    sparsify = jax.jit(
+        lpcnet_bunched.sparsify_gru_a if bunched
+        else lpcnet.sparsify_gru_a,
+        static_argnames=("density", "block"))
     for epoch in range(cfg.train.epochs):
         t0 = time.time()
         total, n = 0.0, 0

@@ -1,0 +1,163 @@
+"""Bunched LPCNet (models/lpcnet_bunched.py): training/inference
+alignment, kernel parity, and training smoke."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.models import lpcnet
+from fpsc_tpu.models import lpcnet_bunched as lb
+
+CFG = lpcnet.LPCNetConfig(gru_a_units=48, gru_b_units=16,
+                          embed_dim=16, cond_units=24)
+RNG = np.random.RandomState(7)
+
+
+def _inputs(b=4, frames=2):
+    feat = (RNG.randn(b, frames, 20) * 0.3).astype(np.float32)
+    periods = RNG.randint(32, 256, (b, frames)).astype(np.int32)
+    lpc = (RNG.randn(b, frames, 16) * 0.05).astype(np.float32)
+    return jnp.asarray(feat), jnp.asarray(periods), jnp.asarray(lpc)
+
+
+def test_forward_shapes_and_loss():
+    params = lb.init_bunched(jax.random.PRNGKey(0), CFG)
+    feat, periods, lpc = _inputs()
+    x = jnp.asarray((RNG.randn(4, 320) * 0.1).astype(np.float32))
+    exc, pred_t = lpcnet.teacher_streams(x, lpc)
+    logits1, logits2 = lb.forward(params, feat, periods, x, exc, pred_t)
+    assert logits1.shape == (4, 160, 256)
+    assert logits2.shape == (4, 160, 256)
+    loss = lb.loss_fn(params, feat, periods, x, lpc)
+    # untrained CE should be near ln(256)
+    assert 4.0 < float(loss) < 7.5
+
+
+def test_generate_matches_teacher_forced_forward():
+    """Alignment proof between generate() and the training-time
+    forward(): re-deriving the teacher streams from generate()'s own
+    output waveform and replaying the SAME uniforms through the
+    teacher-forced logits must reproduce generate()'s sampling
+    decisions (this is the failure mode of the round-1 advisor finding
+    on lpcnet.loss_fn - a one-sample input misalignment breaks it)."""
+    params = lb.init_bunched(jax.random.PRNGKey(1), CFG)
+    b, frames = 4, 2
+    feat, periods, lpc = _inputs(b, frames)
+    corr = jnp.zeros((b, frames))          # temp == 1 both paths
+    key = jax.random.PRNGKey(3)
+    # deemphasis=0 makes the output exactly the pre-emphasis-domain
+    # signal the teacher streams are defined on (any inversion of the
+    # de-emphasis IIR rounds in f32 and flips mu-law indices of
+    # near-boundary samples, which would fail the replay spuriously)
+    x = lb.generate(params, feat, periods, lpc, key, corr=corr,
+                    deemphasis=0.0)
+
+    exc, pred_t = lpcnet.teacher_streams(x, lpc)
+    logits1, logits2 = lb.forward(params, feat, periods, x, exc, pred_t)
+
+    # replay the canonical uniform stream (same layout as generate)
+    uniforms = jnp.transpose(
+        jax.random.uniform(key, (frames, b, 160)), (0, 2, 1))
+    u = np.asarray(uniforms.reshape(frames, 80, 2, b))
+    u = np.concatenate([u[f] for f in range(frames)], axis=0)  # (K,2,B)
+
+    from fpsc_tpu.dsp.mulaw import u2l
+    u2l_table = np.asarray(u2l(jnp.arange(256)) / 32768.0)
+    _, eb, _ = lb._pair_streams(x, exc, pred_t)
+    eb = np.asarray(eb)                                  # (B, K, 2)
+    temp = jnp.ones((b, 1))
+    pairs_per_frame = 80
+    hits1 = total1 = hits = total = 0
+    for which, logits in ((0, logits1), (1, logits2)):
+        for k in range(eb.shape[1]):
+            drawn = lb._sample_step(
+                logits[:, k], temp, jnp.asarray(u[k, which][:, None]),
+                jnp.asarray(u2l_table))
+            n_hit = int(np.sum(np.abs(np.asarray(drawn)
+                                      - eb[:, k, which]) < 1e-6))
+            hits += n_hit
+            total += b
+            if k < pairs_per_frame:
+                hits1 += n_hit
+                total1 += b
+    # Within the first frame, identical inputs -> identical decisions
+    # (one knife-edge flip tolerated).  From the second frame on, the
+    # PRESERVED reference quirk `exc = x - roll(pred, 1)` (reference
+    # src/train.py:125-126; SURVEY preserved-quirks list) assigns frame
+    # t-1's LPC to the first sample of frame t in the teacher stream,
+    # while generation uses the current frame's LPC - one perturbed
+    # GRU input per frame boundary whose state effect decays over a
+    # few dozen pairs, so the overall bar is looser.
+    assert hits1 >= total1 - 1, (
+        f"first-frame alignment broken: {hits1}/{total1}")
+    assert hits / total > 0.95, f"only {hits}/{total} decisions match"
+
+
+def test_pallas_bunched_matches_xla_sampler():
+    """Same statistical trajectory contract as
+    test_pallas_sampler.test_pallas_matches_xla_sampler."""
+    from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
+    params = lb.init_bunched(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(41)
+    b, frames = 8, 2
+    feat = jnp.asarray((rng.randn(b, frames, 20) * 0.3).astype(np.float32))
+    periods = jnp.asarray(rng.randint(32, 256, (b, frames)).astype(np.int32))
+    lpc = jnp.asarray((rng.randn(b, frames, 16) * 0.05).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    want = np.asarray(lb.generate(params, feat, periods, lpc, key))
+    got = np.asarray(pallas_generate(
+        params, feat, periods, lpc, key, dtype=jnp.float32,
+        interpret=True))
+    assert got.shape == want.shape
+    clean = 0
+    for i in range(b):
+        diverged = np.argwhere(np.abs(got[i] - want[i]) > 1e-3).ravel()
+        if len(diverged) == 0:
+            clean += 1
+        else:
+            assert int(diverged[0]) > 0
+    assert clean >= b - 2, f"only {clean}/{b} items flip-free"
+
+
+def test_pallas_bunched_sparse_matches_dense():
+    from fpsc_tpu.ops.lpcnet_sampler import (derive_block_pattern,
+                                             pallas_generate)
+    cfg = lpcnet.LPCNetConfig(gru_a_units=64, gru_b_units=8,
+                              embed_dim=16, cond_units=16)
+    params = lb.init_bunched(jax.random.PRNGKey(4), cfg)
+    params = lb.sparsify_gru_a(params, 0.5, block=(64, 32))
+    pattern = derive_block_pattern(params.base.gru_a.wh, (64, 32))
+    b, frames = 8, 1
+    feat = jnp.asarray((RNG.randn(b, frames, 20) * 0.3).astype(np.float32))
+    periods = jnp.asarray(RNG.randint(32, 256, (b, frames)).astype(np.int32))
+    lpc = jnp.asarray((RNG.randn(b, frames, 16) * 0.05).astype(np.float32))
+    key = jax.random.PRNGKey(6)
+    dense = np.asarray(pallas_generate(
+        params, feat, periods, lpc, key, dtype=jnp.float32,
+        interpret=True))
+    sparse = np.asarray(pallas_generate(
+        params, feat, periods, lpc, key, dtype=jnp.float32,
+        gru_a_pattern=pattern, interpret=True))
+    np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_bunched_training_learns():
+    """A few epochs on tiny synthetic data must reduce the CE."""
+    import time
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.train import train_lpcnet
+
+    cfg = Config(label=time.strftime("bunch_%m%d_%H%M%S"))
+    apply_overrides(cfg, [
+        "data.synthetic=true", "data.synthetic_utterances=4",
+        "data.chunks=2", "data.batch_size=4",
+        "lpcnet.bunch=2", "lpcnet.gru_a_units=48",
+        "lpcnet.gru_b_units=16", "lpcnet.embed_dim=16",
+        "lpcnet.cond_units=24",
+        "train.epochs=15", "train.learning_rate=0.003",
+        "train.save_dir=/tmp/fpsc_test_bunch", "train.save_every=100",
+    ])
+    params, min_loss = train_lpcnet.run(cfg)
+    assert isinstance(params, lb.BunchedParams)
+    assert min_loss < 5.35, f"CE did not drop: {min_loss}"
