@@ -121,29 +121,80 @@ void frame_cepstra(const float* frame, float* ceps) {
   ceps[0] -= 4.0f;
 }
 
-// normalised-autocorrelation pitch over [kPitchMin, kPitchMax] lags
+// Open-loop pitch, mirroring fpsc_tpu/dsp/frontend.py::estimate_pitch
+// stage for stage (tests/test_native.py pins lag-for-lag agreement):
+// 1. normalised autocorrelation over the step-2 lag grid (argmax,
+//    smallest lag on ties),
+// 2. octave-error suppression: round(L/2), round(L/3) snapped to the
+//    even grid, judged against the ORIGINAL peak at
+//    kOctaveThreshold * peak, smallest passing lag wins,
+// 3. +-1 sample refinement around the winner,
+// with frames whose best correlation is <= 0 reporting kPitchMax.
+constexpr double kOctaveThreshold = 0.7;
+
 void pitch_features(const std::vector<float>& pad, int t, float* out) {
   int base = kPitchMax + t * kFrameSize;
   const float* seg = &pad[base];
   double e0 = 1e-9;
   for (int n = 0; n < kWindowSize; ++n) e0 += (double)seg[n] * seg[n];
-  double best_corr = 0.0;
-  int best_lag = kPitchMax;
-  for (int lag = kPitchMin; lag <= kPitchMax; lag += 2) {
+
+  auto corr_at = [&](int lag) {
     const float* ref = &pad[base - lag];
     double num = 0.0, er = 1e-9;
     for (int n = 0; n < kWindowSize; ++n) {
       num += (double)seg[n] * ref[n];
       er += (double)ref[n] * ref[n];
     }
-    double corr = num / std::sqrt(e0 * er);
-    if (corr > best_corr) {
-      best_corr = corr;
-      best_lag = lag;
+    return num / std::sqrt(e0 * er);
+  };
+
+  constexpr int kNumLags = (kPitchMax - kPitchMin) / 2 + 1;
+  double corr[kNumLags];
+  double best_corr = -1e30;
+  int best_lag = kPitchMin;
+  for (int i = 0; i < kNumLags; ++i) {
+    corr[i] = corr_at(kPitchMin + 2 * i);
+    if (corr[i] > best_corr) {  // strict: smallest lag wins ties
+      best_corr = corr[i];
+      best_lag = kPitchMin + 2 * i;
     }
   }
-  out[0] = (float)((best_lag - 100.0) / 50.0);
-  out[1] = (float)(best_corr - 0.5);
+
+  // stage 2: sub-lag preference from the ORIGINAL peak
+  int pick_lag = best_lag;
+  double pick_corr = best_corr;
+  for (int div = 3; div >= 2; --div) {  // /3 judged first: smallest wins
+    // round-half-up, matching the Python mirror's floor(x + .5)
+    long cand = 2 * (long)std::floor(best_lag / (2.0 * div) + 0.5);
+    if (cand < kPitchMin) cand = kPitchMin;
+    if (cand > kPitchMax) cand = kPitchMax;
+    double c = corr[(cand - kPitchMin) / 2];
+    if (c > kOctaveThreshold * best_corr && cand < best_lag &&
+        (div == 3 || pick_lag == best_lag)) {
+      // div==3 always overrides; div==2 only if /3 did not pass
+      pick_lag = (int)cand;
+      pick_corr = c;
+    }
+  }
+
+  // stage 3: +-1 refinement
+  for (int delta = -1; delta <= 1; delta += 2) {
+    int cand = pick_lag + delta;
+    if (cand < kPitchMin) cand = kPitchMin;
+    if (cand > kPitchMax) cand = kPitchMax;
+    double c = corr_at(cand);
+    if (c > pick_corr) {
+      pick_corr = c;
+      pick_lag = cand;
+    }
+  }
+
+  if (pick_corr <= 0.0) {
+    pick_lag = kPitchMax;
+    pick_corr = 0.0;
+  }
+  out[0] = (float)((pick_lag - 100.0) / 50.0);
+  out[1] = (float)(pick_corr - 0.5);
 }
 
 // Levinson-Durbin with the celt_lpc dual early exit
