@@ -43,6 +43,39 @@ def _rows(feat_rows: np.ndarray, batch: int, dim: int) -> jnp.ndarray:
     return a
 
 
+def _encoder_step(params: fp.FramePredictorParams,
+                  codebooks: fp.Codebooks, l1: float, l2: float):
+    """Pure per-frame encode: (state, feat (B, 20)) -> (state, packed).
+
+    packed is ONE (B, 24+S+S') f32 row [coded(20) | ind1 | ind2 | scl
+    | scl_bl | vq(S) | vq_bl(S')]: on a tunneled device every host
+    pull is a network round trip, so per-frame results travel as a
+    single array and are split on the host."""
+    def step(state, feat_rows):
+        h1, h2, prev = state
+        x = jnp.concatenate([prev, feat_rows[:, 18:]], axis=-1)
+        f_out, h1, h2 = fp.step(params, h1, h2, x)
+        r_s = feat_rows[:, :18] - f_out
+        ind1 = jnp.abs(r_s[:, 0]) > l1
+        ind2 = jnp.sum(jnp.abs(r_s[:, 1:]), axis=-1) > l2
+        r_qtz, indices = fp._quantize_residual(codebooks, r_s,
+                                               ind1, ind2)
+        prev = f_out + r_qtz
+        coded = jnp.concatenate([prev, feat_rows[:, 18:]], axis=-1)
+        packed = jnp.concatenate([
+            coded,                                    # 20
+            ind1[:, None].astype(jnp.float32),        # 1
+            ind2[:, None].astype(jnp.float32),        # 1
+            indices["scl"][:, None].astype(jnp.float32),
+            indices["scl_bl"][:, None].astype(jnp.float32),
+            indices["vq"].astype(jnp.float32),        # S
+            indices["vq_bl"].astype(jnp.float32),     # S'
+        ], axis=-1)
+        return (h1, h2, prev), packed
+
+    return step
+
+
 class StreamingEncoder:
     def __init__(self, params: fp.FramePredictorParams,
                  codebooks: fp.Codebooks, l1: float = 0.09,
@@ -51,37 +84,10 @@ class StreamingEncoder:
         self.codebooks = codebooks
         self.batch = batch
         self.reset()
-
-        def step(state, feat_rows):
-            h1, h2, prev = state
-            x = jnp.concatenate([prev, feat_rows[:, 18:]], axis=-1)
-            f_out, h1, h2 = fp.step(params, h1, h2, x)
-            r_s = feat_rows[:, :18] - f_out
-            ind1 = jnp.abs(r_s[:, 0]) > l1
-            ind2 = jnp.sum(jnp.abs(r_s[:, 1:]), axis=-1) > l2
-            r_qtz, indices = fp._quantize_residual(codebooks, r_s,
-                                                   ind1, ind2)
-            prev = f_out + r_qtz
-            coded = jnp.concatenate([prev, feat_rows[:, 18:]], axis=-1)
-            # ONE output array: on a tunneled device every host pull
-            # is a network round trip, so the per-frame result is
-            # packed into a single (B, 24+S+S') f32 row and split on
-            # the host (encode_frame) - one transfer instead of seven.
-            packed = jnp.concatenate([
-                coded,                                    # 20
-                ind1[:, None].astype(jnp.float32),        # 1
-                ind2[:, None].astype(jnp.float32),        # 1
-                indices["scl"][:, None].astype(jnp.float32),
-                indices["scl_bl"][:, None].astype(jnp.float32),
-                indices["vq"].astype(jnp.float32),        # S
-                indices["vq_bl"].astype(jnp.float32),     # S'
-            ], axis=-1)
-            return (h1, h2, prev), packed
-
         self._n_vq = len(codebooks.vq)
         self._n_vq_bl = (len(codebooks.vq_bl)
                          if codebooks.vq_bl is not None else 1)
-        self._step = jax.jit(step)
+        self._step = jax.jit(_encoder_step(params, codebooks, l1, l2))
 
     def reset(self):
         b = self.batch
@@ -114,6 +120,41 @@ class StreamingEncoder:
         return out
 
 
+def _decoder_step(params: fp.FramePredictorParams,
+                  codebooks: fp.Codebooks):
+    """Pure per-frame decode: (state, ind1, ind2, indices, pitch (B,2))
+    -> (state, coded (B, 20))."""
+    from fpsc_tpu.quant.scalar import scl_dequantize
+    from fpsc_tpu.quant.vq import vq_dequantize
+
+    def step(state, ind1, ind2, indices, pitch_rows):
+        h1, h2, prev = state
+        safe = lambda i: jnp.maximum(i, 0)
+        r0_a = scl_dequantize(safe(indices["scl"]), codebooks.scl)
+        r0_b = (scl_dequantize(safe(indices["scl_bl"]),
+                               codebooks.scl_bl)
+                if codebooks.scl_bl is not None
+                else jnp.zeros_like(r0_a))
+        r0 = jnp.where(ind1, r0_a, r0_b)            # (B,)
+        rv_a = jax.vmap(lambda i: vq_dequantize(safe(i),
+                                                codebooks.vq))(
+            jnp.atleast_2d(indices["vq"]))
+        rv_b = (jax.vmap(lambda i: vq_dequantize(safe(i),
+                                                 codebooks.vq_bl))(
+            jnp.atleast_2d(indices["vq_bl"]))
+            if codebooks.vq_bl is not None
+            else jnp.zeros_like(rv_a))
+        rv = jnp.where(ind2[:, None], rv_a, rv_b)   # (B, 17)
+        r_qtz = jnp.concatenate([r0[:, None], rv], axis=-1)
+        x = jnp.concatenate([prev, pitch_rows], axis=-1)
+        f_out, h1, h2 = fp.step(params, h1, h2, x)
+        coded = f_out + r_qtz
+        return (h1, h2, coded), jnp.concatenate(
+            [coded, pitch_rows], axis=-1)
+
+    return step
+
+
 class StreamingDecoder:
     def __init__(self, params: fp.FramePredictorParams,
                  codebooks: fp.Codebooks, batch: int = 1):
@@ -121,36 +162,7 @@ class StreamingDecoder:
         self.codebooks = codebooks
         self.batch = batch
         self.reset()
-
-        from fpsc_tpu.quant.scalar import scl_dequantize
-        from fpsc_tpu.quant.vq import vq_dequantize
-
-        def step(state, ind1, ind2, indices, pitch_rows):
-            h1, h2, prev = state
-            safe = lambda i: jnp.maximum(i, 0)
-            r0_a = scl_dequantize(safe(indices["scl"]), codebooks.scl)
-            r0_b = (scl_dequantize(safe(indices["scl_bl"]),
-                                   codebooks.scl_bl)
-                    if codebooks.scl_bl is not None
-                    else jnp.zeros_like(r0_a))
-            r0 = jnp.where(ind1, r0_a, r0_b)            # (B,)
-            rv_a = jax.vmap(lambda i: vq_dequantize(safe(i),
-                                                    codebooks.vq))(
-                jnp.atleast_2d(indices["vq"]))
-            rv_b = (jax.vmap(lambda i: vq_dequantize(safe(i),
-                                                     codebooks.vq_bl))(
-                jnp.atleast_2d(indices["vq_bl"]))
-                if codebooks.vq_bl is not None
-                else jnp.zeros_like(rv_a))
-            rv = jnp.where(ind2[:, None], rv_a, rv_b)   # (B, 17)
-            r_qtz = jnp.concatenate([r0[:, None], rv], axis=-1)
-            x = jnp.concatenate([prev, pitch_rows], axis=-1)
-            f_out, h1, h2 = fp.step(self.params, h1, h2, x)
-            coded = f_out + r_qtz
-            return (h1, h2, coded), jnp.concatenate(
-                [coded, pitch_rows], axis=-1)
-
-        self._step = jax.jit(step)
+        self._step = jax.jit(_decoder_step(params, codebooks))
 
     def reset(self):
         b = self.batch
@@ -177,18 +189,10 @@ class StreamingDecoder:
         return coded[0] if squeeze and self.batch == 1 else coded
 
 
-class StreamingVocoder:
-    """LPCNet sampler, one 10 ms frame (160 samples) per call, batched
-    over independent streams."""
-
-    def __init__(self, params: lpcnet.LPCNetParams, seed: int = 0,
-                 batch: int = 1):
-        self.params = params
-        self.key = jax.random.PRNGKey(seed)
-        self.batch = batch
-        self.reset()
-
-        def frame_step(state, key, coded_rows):
+def _vocoder_step(params: lpcnet.LPCNetParams):
+    """Pure per-frame synthesis: (state, key, coded (B, 20)) ->
+    (state, samples (B, 160))."""
+    def frame_step(state, key, coded_rows):
             h_a, h_b, hist, prev_e, prev_y = state
             b = coded_rows.shape[0]
             feat = coded_rows[:, None, :20]
@@ -237,7 +241,20 @@ class StreamingVocoder:
                 sample_step, (h_a, h_b, hist, prev_e, prev_y), uniforms)
             return state, jnp.swapaxes(ys, 0, 1)        # (B, 160)
 
-        self._step = jax.jit(frame_step)
+    return frame_step
+
+
+class StreamingVocoder:
+    """LPCNet sampler, one 10 ms frame (160 samples) per call, batched
+    over independent streams."""
+
+    def __init__(self, params: lpcnet.LPCNetParams, seed: int = 0,
+                 batch: int = 1):
+        self.params = params
+        self.key = jax.random.PRNGKey(seed)
+        self.batch = batch
+        self.reset()
+        self._step = jax.jit(_vocoder_step(params))
 
     def reset(self):
         b = self.batch
@@ -257,3 +274,98 @@ class StreamingVocoder:
             self.state, sub, _rows(coded_rows, self.batch, 20))
         ys = np.asarray(ys)
         return ys[0] if squeeze and self.batch == 1 else ys
+
+
+class StreamingCodec:
+    """Fused full-duplex tick: encode -> decode -> synthesize in ONE
+    compiled program and ONE device round trip.
+
+    The three-stage chain pays one dispatch round trip per stage per
+    10 ms tick; on a tunneled device that is ~35 ms each (VALIDATION's
+    serving table), so the loopback chain (speech in -> symbols ->
+    coded features -> speech out, e.g. codec-in-the-loop training
+    data, server-side transcoding, or local monitoring) runs 3x
+    faster dispatched as one program.  The per-tick result is a
+    single packed (B, 24+S+S'+160) array: encoder symbols followed by
+    the 160 decoded-and-resynthesised samples."""
+
+    def __init__(self, enc_params: fp.FramePredictorParams,
+                 codebooks: fp.Codebooks,
+                 voc_params: lpcnet.LPCNetParams,
+                 l1: float = 0.09, l2: float = 0.28,
+                 seed: int = 0, batch: int = 1):
+        self.batch = batch
+        self.key = jax.random.PRNGKey(seed)
+        self._n_vq = len(codebooks.vq)
+        self._n_vq_bl = (len(codebooks.vq_bl)
+                         if codebooks.vq_bl is not None else 1)
+        self._enc_params = enc_params
+        self._voc_params = voc_params
+        self.reset()
+
+        enc = _encoder_step(enc_params, codebooks, l1, l2)
+        dec = _decoder_step(enc_params, codebooks)
+        voc = _vocoder_step(voc_params)
+        s, sb = self._n_vq, self._n_vq_bl
+
+        def tick(enc_state, dec_state, voc_state, key, feat_rows):
+            enc_state, packed = enc(enc_state, feat_rows)
+            # re-materialise the symbol dict ON DEVICE (the decoder
+            # consumes exactly what a receiver would unpack)
+            ind1 = packed[:, 20] > 0.5
+            ind2 = packed[:, 21] > 0.5
+            indices = {
+                "scl": packed[:, 22].astype(jnp.int32),
+                "scl_bl": packed[:, 23].astype(jnp.int32),
+                "vq": packed[:, 24:24 + s].astype(jnp.int32),
+                "vq_bl": packed[:, 24 + s:24 + s + sb].astype(jnp.int32),
+            }
+            dec_state, coded = dec(dec_state, ind1, ind2, indices,
+                                   feat_rows[:, 18:])
+            voc_state, ys = voc(voc_state, key, coded[:, :20])
+            out = jnp.concatenate([packed, ys], axis=-1)
+            return enc_state, dec_state, voc_state, out
+
+        self._tick = jax.jit(tick)
+
+    def reset(self):
+        b = self.batch
+        ep, vp = self._enc_params, self._voc_params
+        self.enc_state = (jnp.zeros((b, ep.rnn1.units)),
+                          jnp.zeros((b, ep.rnn2.units)),
+                          jnp.zeros((b, fp.NB_CEPS)))
+        self.dec_state = (jnp.zeros((b, ep.rnn1.units)),
+                          jnp.zeros((b, ep.rnn2.units)),
+                          jnp.zeros((b, fp.NB_CEPS)))
+        self.voc_state = (jnp.zeros((b, vp.gru_a.units)),
+                          jnp.zeros((b, vp.gru_b.units)),
+                          jnp.zeros((b, C.LPC_ORDER)),
+                          jnp.zeros((b,)), jnp.zeros((b,)))
+
+    def process_frame(self, feat_rows: np.ndarray) -> Dict:
+        """feat_rows (20,)/(batch, 20) normalised [ceps|pitch] ->
+        {'indices', 'ind1', 'ind2', 'coded', 'audio' (160,)/(B, 160)}
+        in one device call."""
+        squeeze = np.ndim(feat_rows) == 1
+        self.key, sub = jax.random.split(self.key)
+        (self.enc_state, self.dec_state, self.voc_state,
+         out) = self._tick(self.enc_state, self.dec_state,
+                           self.voc_state, sub,
+                           _rows(feat_rows, self.batch, 20))
+        p = np.asarray(out)                    # single host transfer
+        s, sb = self._n_vq, self._n_vq_bl
+        res = {
+            "coded": p[:, :20],
+            "ind1": p[:, 20] > 0.5,
+            "ind2": p[:, 21] > 0.5,
+            "indices": {
+                "scl": p[:, 22].astype(np.int32),
+                "scl_bl": p[:, 23].astype(np.int32),
+                "vq": p[:, 24:24 + s].astype(np.int32),
+                "vq_bl": p[:, 24 + s:24 + s + sb].astype(np.int32),
+            },
+            "audio": p[:, 24 + s + sb:],
+        }
+        if squeeze and self.batch == 1:
+            res = jax.tree_util.tree_map(lambda a: a[0], res)
+        return res

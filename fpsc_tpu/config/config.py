@@ -29,6 +29,9 @@ class DataConfig:
     qtz_pitch: bool = False         # substitute quantised pitch columns
     num_eval_batches: int = 2
     seed: int = 0
+    # multi-host input: each jax process yields its disjoint slice of
+    # every global batch (batch_size stays the GLOBAL batch)
+    shard_by_process: bool = False
 
 
 @dataclass

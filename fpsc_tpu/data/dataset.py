@@ -81,18 +81,32 @@ def make_synthetic(n: int, chunks_each: int = 12, seed: int = 0,
 
 
 class Dataset:
-    """Chunk-cropping batch sampler over a list of utterances."""
+    """Chunk-cropping batch sampler over a list of utterances.
+
+    Multi-host input (SURVEY §5.8: DCN only feeds the input pipeline):
+    with process_count > 1 every host draws the SAME shuffle order
+    from the shared seed and `iter_batches` yields only this host's
+    contiguous slice of each GLOBAL batch - the per-host arrays then
+    `jax.device_put` onto the host's slice of the 'data' mesh axis
+    with no cross-host data motion.  Which utterances land in which
+    global step is identical across layouts; the random crop offsets
+    are host-deterministic but not bitwise-identical to a single-host
+    run (same distribution)."""
 
     def __init__(self, items: List[Utterance], chunks: int,
                  task: str = "train", normalize: bool = True,
-                 qtz_pitch: bool = False):
+                 qtz_pitch: bool = False, process_index: int = 0,
+                 process_count: int = 1):
         if not items:
             raise ValueError("empty dataset")
+        assert 0 <= process_index < process_count
         self.items = items
         self.chunks = chunks
         self.task = task
         self.normalize = normalize
         self.qtz_pitch = qtz_pitch
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self) -> int:
         return len(self.items)
@@ -158,13 +172,24 @@ class Dataset:
                      drop_remainder: bool = True,
                      head: bool = False
                      ) -> Iterator[Dict[str, np.ndarray]]:
-        """head=True yields deterministic offset-0 crops (coded-feature
+        """batch_size is the GLOBAL batch; with process_count > 1 each
+        host yields its (batch_size // process_count)-row slice.
+        head=True yields deterministic offset-0 crops (coded-feature
         dumps that must stay waveform-aligned for the vocoder
         finetune)."""
+        pc, pi = self.process_count, self.process_index
+        assert batch_size % pc == 0, (batch_size, pc)
+        per_host = batch_size // pc
+        # the shuffle rng is shared (same seed on every host); the
+        # crop rng is salted per host so concurrent hosts do not crop
+        # identically when they tile/redraw
         rng = np.random.RandomState(seed)
         order = rng.permutation(len(self.items))
+        crop_rng = rng if pc == 1 else np.random.RandomState(
+            seed * 1009 + 7 * pi + 1)
         for s in range(0, len(order) - batch_size + 1, batch_size):
-            yield self.gather(order[s:s + batch_size], rng, head=head)
+            mine = order[s + pi * per_host:s + (pi + 1) * per_host]
+            yield self.gather(mine, crop_rng, head=head)
 
 
 def substitute_qtz_pitch(feat: np.ndarray) -> np.ndarray:
@@ -188,8 +213,13 @@ def build_dataset(cfg: DataConfig, task: str = "train") -> Dataset:
                                style=cfg.synthetic_style)
     else:
         items = load_directory(cfg.root, task)
+    pi, pc = 0, 1
+    if cfg.shard_by_process:
+        import jax
+        pi, pc = jax.process_index(), jax.process_count()
     return Dataset(items, cfg.chunks, task, cfg.normalize,
-                   qtz_pitch=cfg.qtz_pitch)
+                   qtz_pitch=cfg.qtz_pitch,
+                   process_index=pi, process_count=pc)
 
 
 def predictor_inputs(batch: Dict[str, np.ndarray],

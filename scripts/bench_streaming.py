@@ -37,7 +37,8 @@ def bench_stage(name, call, frames, batch):
 def main(n_frames: int = 50):
     import jax
 
-    from fpsc_tpu.codec.streaming import (StreamingDecoder,
+    from fpsc_tpu.codec.streaming import (StreamingCodec,
+                                          StreamingDecoder,
                                           StreamingEncoder,
                                           StreamingVocoder)
     from fpsc_tpu.models import frame_predictor as fp
@@ -73,12 +74,16 @@ def main(n_frames: int = 50):
                            lambda t: voc.synthesize_frame(feat[:, t]),
                            n_frames, batch)
         total = dt_e + dt_d + dt_v
-        results[batch] = (dt_e, dt_d, dt_v, total)
-        print(f"{'full chain':28s} batch {batch:4d}: "
+        print(f"{'full chain (3 dispatches)':28s} batch {batch:4d}: "
               f"{total * 1e3:7.2f} ms/frame "
               f"({'REAL-TIME OK' if total < 0.010 else 'over budget'} "
               f"per tick; {0.010 / total * batch:.1f} stream-frames/"
               f"10ms)", flush=True)
+        fused = StreamingCodec(fp_params, cbs, voc_params, batch=batch)
+        dt_f = bench_stage("StreamingCodec (fused)",
+                           lambda t: fused.process_frame(feat[:, t]),
+                           n_frames, batch)
+        results[batch] = (dt_e, dt_d, dt_v, total, dt_f)
     return results
 
 

@@ -249,3 +249,27 @@ def test_checkpoint_resume_equivalence(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p2_direct),
                     jax.tree_util.tree_leaves(p2_resumed)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_process_sharded_batches_partition_global_batch():
+    """Multi-host input: per-host slices of each global batch must
+    partition the single-host batch's utterance selection, step for
+    step (the shuffle order comes from the shared seed)."""
+    cfg = Config()
+    apply_overrides(cfg, ["data.synthetic=true",
+                          "data.synthetic_utterances=8",
+                          "data.chunks=2"])
+    single = build_dataset(cfg.data, "train")
+    from fpsc_tpu.data.dataset import Dataset
+    hosts = [Dataset(single.items, single.chunks, "train",
+                     process_index=i, process_count=2)
+             for i in range(2)]
+    g_iter = single.iter_batches(4, seed=3)
+    h_iters = [h.iter_batches(4, seed=3) for h in hosts]
+    for _ in range(2):
+        g = next(g_iter)
+        parts = [next(it) for it in h_iters]
+        assert parts[0]["x"].shape == (2, 2 * 2400)
+        assert g["name"] == parts[0]["name"] + parts[1]["name"]
+        # different hosts carry different utterances
+        assert not set(parts[0]["name"]) & set(parts[1]["name"])

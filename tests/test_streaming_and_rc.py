@@ -230,3 +230,68 @@ def test_entropy_pack_roundtrip_and_rate(setup):
         int((~ind1).sum()) * _nbits(4) + int(ind2.sum()) * _nbits(16) + \
         int((~ind2).sum()) * _nbits(8)
     assert len(data) * 8 <= fixed_bits
+
+
+def test_fused_streaming_codec_matches_chain(setup):
+    """StreamingCodec (one compiled tick) must reproduce the
+    three-class chain symbol-for-symbol and sample-for-sample."""
+    from fpsc_tpu.codec.streaming import (StreamingCodec,
+                                          StreamingDecoder,
+                                          StreamingEncoder,
+                                          StreamingVocoder)
+    from fpsc_tpu.models import lpcnet
+    params, cbs, feat = setup
+    lcfg = lpcnet.LPCNetConfig(gru_a_units=16, gru_b_units=8,
+                               embed_dim=8, cond_units=8)
+    vparams = lpcnet.init_lpcnet(jax.random.PRNGKey(1), lcfg)
+
+    fused = StreamingCodec(params, cbs, vparams, seed=7)
+    enc = StreamingEncoder(params, cbs)
+    dec = StreamingDecoder(params, cbs)
+    voc = StreamingVocoder(vparams, seed=7)
+    got_audio, chain_audio = [], []
+    for t in range(feat.shape[1]):
+        got = fused.process_frame(feat[0, t])
+        out = enc.encode_frame(feat[0, t])
+        coded = dec.decode_frame(out["ind1"], out["ind2"],
+                                 out["indices"], feat[0, t, 18:])
+        assert bool(got["ind1"]) == bool(out["ind1"])
+        np.testing.assert_array_equal(got["indices"]["vq"],
+                                      out["indices"]["vq"])
+        # decoded features: jit-boundary rounding only (~1 ulp)
+        np.testing.assert_allclose(got["coded"], coded,
+                                   rtol=1e-5, atol=1e-6)
+        # drive the standalone vocoder with the FUSED run's coded
+        # features so its inputs are bit-identical - the comparison
+        # then isolates the vocoder-program equivalence
+        audio = voc.synthesize_frame(got["coded"])
+        got_audio.append(got["audio"])
+        chain_audio.append(audio)
+    assert got["audio"].shape == (160,)
+    # audio: the fused program and the separately-jitted program can
+    # still round differently inside XLA, which can flip a knife-edge
+    # sampling decision that then cascades through the AR state - same
+    # statistical contract as the pallas sampler tests: exact tracking
+    # up to the first flip, and the flip must not be at t=0
+    ga = np.concatenate(got_audio)
+    ca = np.concatenate(chain_audio)
+    diverged = np.argwhere(np.abs(ga - ca) > 1e-3).ravel()
+    t0 = int(diverged[0]) if len(diverged) else len(ga)
+    assert t0 > 160, f"fused audio diverges from the chain at t={t0}"
+    np.testing.assert_allclose(ga[:t0], ca[:t0], rtol=1e-4, atol=1e-5)
+
+
+def test_fused_streaming_codec_batched(setup):
+    from fpsc_tpu.codec.streaming import StreamingCodec
+    from fpsc_tpu.models import lpcnet
+    params, cbs, _ = setup
+    lcfg = lpcnet.LPCNetConfig(gru_a_units=16, gru_b_units=8,
+                               embed_dim=8, cond_units=8)
+    vparams = lpcnet.init_lpcnet(jax.random.PRNGKey(1), lcfg)
+    fused = StreamingCodec(params, cbs, vparams, batch=3)
+    rows = (np.random.RandomState(4).randn(3, 20) * 0.3
+            ).astype(np.float32)
+    out = fused.process_frame(rows)
+    assert out["audio"].shape == (3, 160)
+    assert np.isfinite(out["audio"]).all()
+    assert not np.array_equal(out["audio"][0], out["audio"][1])
