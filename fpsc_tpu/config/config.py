@@ -128,6 +128,10 @@ class TrainConfig:
     save_dir: str = "runs"
     transfer_model: Optional[str] = None
     transfer_epoch: Optional[int] = None
+    # separate vocoder checkpoint for entries that load BOTH a frame
+    # predictor (transfer_model) and a vocoder (synthesis_qtz)
+    vocoder_model: Optional[str] = None
+    vocoder_epoch: Optional[int] = None
     upd_f_only: bool = False        # freeze vocoder core, tune frontend
     seed: int = 0
 

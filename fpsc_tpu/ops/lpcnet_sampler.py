@@ -290,7 +290,9 @@ def auto_block_pattern(params, block=(64, 64), max_live: float = 0.9):
     Returns (pattern, block) when GRU_A's recurrent matrix is actually
     block-sparse (live fraction < max_live), else None (dense path).
     Lets synthesis entries deploy the sparse kernel automatically for
-    models trained with lpcnet.sparsify_gru_a; must run OUTSIDE jit."""
+    models trained with lpcnet.sparsify_gru_a; must run OUTSIDE jit.
+    Accepts LPCNetParams or BunchedParams."""
+    params = getattr(params, "base", params)
     pattern, blk = derive_block_pattern(params.gru_a.wh, block)
     wh = np.asarray(params.gru_a.wh)
     total = len(pattern) * (wh.shape[1] // blk[1])

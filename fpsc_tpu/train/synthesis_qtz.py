@@ -55,8 +55,20 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
             gru_b_units=cfg.lpcnet.gru_b_units,
             embed_dim=cfg.lpcnet.embed_dim,
             cond_units=cfg.lpcnet.cond_units)
-        vocoder_params = lpcnet.init_lpcnet(
-            jax.random.PRNGKey(cfg.train.seed + 2), lcfg)
+        key = jax.random.PRNGKey(cfg.train.seed + 2)
+        if cfg.lpcnet.bunch == 2:
+            from fpsc_tpu.models import lpcnet_bunched
+            vocoder_params = lpcnet_bunched.init_bunched(key, lcfg)
+        else:
+            vocoder_params = lpcnet.init_lpcnet(key, lcfg)
+        if cfg.train.vocoder_model:
+            payload = ckpt.load(ckpt.checkpoint_path(
+                cfg.train.save_dir, cfg.train.vocoder_model,
+                cfg.train.vocoder_epoch))
+            vocoder_params = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(vocoder_params),
+                [jnp.asarray(v) for v in
+                 jax.tree_util.tree_leaves(payload["params"])])
 
     ds = build_dataset(cfg.data, "val")
     out_dir = out_dir or os.path.join(cfg.train.save_dir,
@@ -122,7 +134,12 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
                 corr=jnp.asarray(coded_un[..., 19]),
                 gru_a_pattern=pat))
         else:
-            y = np.asarray(lpcnet.generate(
+            if hasattr(vocoder_params, "base"):     # BunchedParams
+                from fpsc_tpu.models import lpcnet_bunched
+                gen = lpcnet_bunched.generate
+            else:
+                gen = lpcnet.generate
+            y = np.asarray(gen(
                 vocoder_params, coded, jnp.asarray(periods),
                 jnp.asarray(lpc), jax.random.PRNGKey(ns),
                 corr=jnp.asarray(coded_un[..., 19])))

@@ -131,3 +131,30 @@ def test_lpcnet_finetune_on_coded_features(tmp_path):
     out = gqf.run(cfg, max_utterances=2, out_dir=str(tmp_path / "qtz"))
     params, loss = tl.run(cfg, data_dir=out["out_dir"])
     assert np.isfinite(loss)
+
+
+def test_synthesis_qtz_deploys_bunched_vocoder_checkpoint(tmp_path):
+    """CLI deployment of the bunched production vocoder: train a tiny
+    bunched model (lpcnet.bunch=2), save its checkpoint, and drive
+    synthesis_qtz through train.vocoder_model - the entry must build
+    the BunchedParams structure, load the checkpoint into it, and
+    synthesise through the kernel's bunch=2 dispatch."""
+    from fpsc_tpu.models import lpcnet_bunched
+    from fpsc_tpu.train import train_cb, train_lpcnet as tl
+    from fpsc_tpu.train import synthesis_qtz as sq
+    cfg = _tiny_cfg(tmp_path, [
+        "codec.vq_entries=8,8", "codec.vq_entries_bl=8",
+        "codec.scl_entries=8", "codec.scl_entries_bl=4",
+        f"codec.codebook_path={tmp_path}/cb.npz",
+        "lpcnet.bunch=2",
+    ])
+    cfg.train.debugging = False      # must write a checkpoint
+    params, _ = tl.run(cfg)
+    assert isinstance(params, lpcnet_bunched.BunchedParams)
+    train_cb.run(cfg)
+    cfg.train.vocoder_model = cfg.label + "_s"
+    cfg.train.vocoder_epoch = 0
+    results = sq.run(cfg, num_samples=1,
+                     out_dir=str(tmp_path / "qtzb"), use_pallas=False)
+    assert len(results) == 1
+    assert np.isfinite(results[0]["wav"]).all()
