@@ -43,6 +43,28 @@ def _rows(feat_rows: np.ndarray, batch: int, dim: int) -> jnp.ndarray:
     return a
 
 
+def _split_symbols(p, n_vq: int, n_vq_bl: int):
+    """THE packed symbol-row layout, shared by every unpacker (host
+    numpy and on-device jax alike): columns [coded(20) | ind1 | ind2 |
+    scl | scl_bl | vq(S) | vq_bl(S')].  Returns (symbol dict,
+    consumed width) so trailing payloads (e.g. StreamingCodec's 160
+    audio samples) slice from the returned offset.  _encoder_step's
+    pack is the single producer of this layout."""
+    s, sb = n_vq, n_vq_bl
+    out = {
+        "coded": p[:, :20],
+        "ind1": p[:, 20] > 0.5,
+        "ind2": p[:, 21] > 0.5,
+        "indices": {
+            "scl": p[:, 22].astype(np.int32),
+            "scl_bl": p[:, 23].astype(np.int32),
+            "vq": p[:, 24:24 + s].astype(np.int32),
+            "vq_bl": p[:, 24 + s:24 + s + sb].astype(np.int32),
+        },
+    }
+    return out, 24 + s + sb
+
+
 def _encoder_step(params: fp.FramePredictorParams,
                   codebooks: fp.Codebooks, l1: float, l2: float):
     """Pure per-frame encode: (state, feat (B, 20)) -> (state, packed).
@@ -103,18 +125,7 @@ class StreamingEncoder:
         self.state, packed = self._step(
             self.state, _rows(feat_rows, self.batch, 20))
         p = np.asarray(packed)                 # single host transfer
-        s, sb = self._n_vq, self._n_vq_bl
-        out = {
-            "coded": p[:, :20],
-            "ind1": p[:, 20] > 0.5,
-            "ind2": p[:, 21] > 0.5,
-            "indices": {
-                "scl": p[:, 22].astype(np.int32),
-                "scl_bl": p[:, 23].astype(np.int32),
-                "vq": p[:, 24:24 + s].astype(np.int32),
-                "vq_bl": p[:, 24 + s:24 + s + sb].astype(np.int32),
-            },
-        }
+        out, _ = _split_symbols(p, self._n_vq, self._n_vq_bl)
         if squeeze and self.batch == 1:
             out = jax.tree_util.tree_map(lambda a: a[0], out)
         return out
@@ -312,16 +323,9 @@ class StreamingCodec:
             enc_state, packed = enc(enc_state, feat_rows)
             # re-materialise the symbol dict ON DEVICE (the decoder
             # consumes exactly what a receiver would unpack)
-            ind1 = packed[:, 20] > 0.5
-            ind2 = packed[:, 21] > 0.5
-            indices = {
-                "scl": packed[:, 22].astype(jnp.int32),
-                "scl_bl": packed[:, 23].astype(jnp.int32),
-                "vq": packed[:, 24:24 + s].astype(jnp.int32),
-                "vq_bl": packed[:, 24 + s:24 + s + sb].astype(jnp.int32),
-            }
-            dec_state, coded = dec(dec_state, ind1, ind2, indices,
-                                   feat_rows[:, 18:])
+            sym, _ = _split_symbols(packed, s, sb)
+            dec_state, coded = dec(dec_state, sym["ind1"], sym["ind2"],
+                                   sym["indices"], feat_rows[:, 18:])
             voc_state, ys = voc(voc_state, key, coded[:, :20])
             out = jnp.concatenate([packed, ys], axis=-1)
             return enc_state, dec_state, voc_state, out
@@ -353,19 +357,8 @@ class StreamingCodec:
                            self.voc_state, sub,
                            _rows(feat_rows, self.batch, 20))
         p = np.asarray(out)                    # single host transfer
-        s, sb = self._n_vq, self._n_vq_bl
-        res = {
-            "coded": p[:, :20],
-            "ind1": p[:, 20] > 0.5,
-            "ind2": p[:, 21] > 0.5,
-            "indices": {
-                "scl": p[:, 22].astype(np.int32),
-                "scl_bl": p[:, 23].astype(np.int32),
-                "vq": p[:, 24:24 + s].astype(np.int32),
-                "vq_bl": p[:, 24 + s:24 + s + sb].astype(np.int32),
-            },
-            "audio": p[:, 24 + s + sb:],
-        }
+        res, width = _split_symbols(p, self._n_vq, self._n_vq_bl)
+        res["audio"] = p[:, width:]
         if squeeze and self.batch == 1:
             res = jax.tree_util.tree_map(lambda a: a[0], res)
         return res

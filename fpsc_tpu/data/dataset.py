@@ -214,7 +214,9 @@ def build_dataset(cfg: DataConfig, task: str = "train") -> Dataset:
     else:
         items = load_directory(cfg.root, task)
     pi, pc = 0, 1
-    if cfg.shard_by_process:
+    if cfg.shard_by_process and task == "train":
+        # only the training stream shards; val/eval consumers iterate
+        # small (often batch-1) batches that every host replicates
         import jax
         pi, pc = jax.process_index(), jax.process_count()
     return Dataset(items, cfg.chunks, task, cfg.normalize,

@@ -209,6 +209,34 @@ def _categorical(key: jax.Array, probs: jax.Array) -> jax.Array:
     return jnp.sum((cdf < u).astype(jnp.int32), axis=-1)
 
 
+def draw_excitation(logits: jax.Array, temp: jax.Array, u: jax.Array,
+                    u2l_table: jax.Array) -> jax.Array:
+    """Shared sampling tail: (B, 256) logits + (B, 1) temperature +
+    (B, 1) uniform -> (B,) linear-scale excitation.
+
+    The ONE canonical copy of the sampling arithmetic that the Pallas
+    kernel's draw() mirrors op for op (unnormalised exp - logits in
+    [-2, 2] and temp <= 1.25, so no overflow and the max-subtraction
+    is skipped; tail cut scaled by Z instead of normalising, since
+    max(p/Z - c, 0) has the same argcdf as max(p - c*Z, 0);
+    Hillis-Steele log-step prefix sum; total = last prefix element) -
+    both XLA samplers (lpcnet.generate, lpcnet_bunched) call this so
+    all three implementations flip identically on the same inputs."""
+    p = jnp.exp(logits * temp)
+    z = jnp.sum(p, axis=-1, keepdims=True)
+    pcut = jnp.maximum(p - 0.002 * z, 0.0)
+    n_lvl = pcut.shape[-1]
+    cdf = pcut
+    k = 1
+    while k < n_lvl:
+        cdf = cdf + jnp.where(jnp.arange(n_lvl) >= k,
+                              jnp.roll(cdf, k, axis=-1), 0.0)
+        k *= 2
+    total = cdf[:, -1:]
+    e_idx = jnp.sum((cdf < u * total).astype(jnp.int32), axis=-1)
+    return u2l_table[e_idx]
+
+
 def generate(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
              lpc: jax.Array, key: jax.Array,
              corr: Optional[jax.Array] = None,
@@ -321,27 +349,7 @@ def generate(params: LPCNetParams, feat: jax.Array, periods: jax.Array,
                 fx["cond_b"]
             h_b = _gates(pre_b, h_b, params.gru_b.wh, params.gru_b.bh)
             logits = _logits(params, h_b)
-            # Sampling arithmetic mirrors the Pallas kernel EXACTLY
-            # (ops and order) so the two samplers make bit-identical
-            # sampling decisions: unnormalised exp (logits in [-2, 2],
-            # temp <= 1.25 -> no overflow; max-subtraction skipped),
-            # tail cut scaled by Z instead of normalising
-            # (max(p/Z - c, 0) has the same argcdf as max(p - c*Z, 0)),
-            # Hillis-Steele log-step prefix sum, separate total.
-            p = jnp.exp(logits * temp)
-            z = jnp.sum(p, axis=-1, keepdims=True)
-            pcut = jnp.maximum(p - 0.002 * z, 0.0)
-            n_lvl = pcut.shape[-1]
-            cdf = pcut
-            k = 1
-            while k < n_lvl:
-                cdf = cdf + jnp.where(jnp.arange(n_lvl) >= k,
-                                      jnp.roll(cdf, k, axis=-1), 0.0)
-                k *= 2
-            total = cdf[:, -1:]   # last prefix-sum element, as in kernel
-            thresh = u * total                       # renorm via scaled u
-            e_idx = jnp.sum((cdf < thresh).astype(jnp.int32), axis=-1)
-            e_lin = u2l_table[e_idx]
+            e_lin = draw_excitation(logits, temp, u, u2l_table)
             sample = pred + e_lin
             x_hist = jnp.concatenate([x_hist[:, 1:], sample[:, None]],
                                      axis=1)

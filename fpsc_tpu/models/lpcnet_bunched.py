@@ -136,23 +136,9 @@ def sparsify_gru_a(params: BunchedParams, density: float,
 # bunch=2 mode of ops/lpcnet_sampler.pallas_generate)
 # --------------------------------------------------------------------------
 
-def _sample_step(logits, temp, u, u2l_table):
-    """Shared sampling arithmetic - mirrors the Pallas kernel exactly
-    (unnormalised exp, Z-scaled tail cut, Hillis-Steele prefix sum,
-    total = last prefix element) so both samplers flip identically."""
-    p = jnp.exp(logits * temp)
-    z = jnp.sum(p, axis=-1, keepdims=True)
-    pcut = jnp.maximum(p - 0.002 * z, 0.0)
-    n_lvl = pcut.shape[-1]
-    cdf = pcut
-    k = 1
-    while k < n_lvl:
-        cdf = cdf + jnp.where(jnp.arange(n_lvl) >= k,
-                              jnp.roll(cdf, k, axis=-1), 0.0)
-        k *= 2
-    total = cdf[:, -1:]
-    e_idx = jnp.sum((cdf < u * total).astype(jnp.int32), axis=-1)
-    return u2l_table[e_idx]
+# the ONE sampling-tail implementation lives in lpcnet.draw_excitation
+# (the Pallas kernel's draw() mirrors it op for op)
+_sample_step = lpcnet.draw_excitation
 
 
 def generate(params: BunchedParams, feat: jax.Array, periods: jax.Array,

@@ -55,6 +55,7 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
             gru_b_units=cfg.lpcnet.gru_b_units,
             embed_dim=cfg.lpcnet.embed_dim,
             cond_units=cfg.lpcnet.cond_units)
+        assert cfg.lpcnet.bunch in (1, 2), cfg.lpcnet.bunch
         key = jax.random.PRNGKey(cfg.train.seed + 2)
         if cfg.lpcnet.bunch == 2:
             from fpsc_tpu.models import lpcnet_bunched

@@ -67,7 +67,10 @@ def coded_dataset(coded_dir: str, base: Dataset) -> Dataset:
             utt.name,
             utt.waveform[: n * C.SAMPLES_PER_CHUNK],
             windows))
-    return Dataset(items, base.chunks, base.task, base.normalize)
+    return Dataset(items, base.chunks, base.task, base.normalize,
+                   qtz_pitch=base.qtz_pitch,
+                   process_index=base.process_index,
+                   process_count=base.process_count)
 
 
 def make_step(tx, loss_fn=None):
@@ -136,6 +139,9 @@ def run(cfg: Config, data_dir: Optional[str] = None,
         frame_kernel=cfg.lpcnet.frame_kernel,
     )
     from fpsc_tpu.models import lpcnet_bunched
+    assert cfg.lpcnet.bunch in (1, 2), (
+        f"lpcnet.bunch={cfg.lpcnet.bunch}: only 1 (plain LPCNet) and "
+        f"2 (bunched pairs) are implemented")
     bunched = cfg.lpcnet.bunch == 2
     if init_params is not None:
         # deep-copy: train_step donates its param buffers, which would
