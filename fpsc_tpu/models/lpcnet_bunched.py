@@ -22,10 +22,22 @@ autoregressively:
   autoregressive (no independence approximation; the capacity cost is
   only that the GRU state does not update between the two samples).
 
+Measured ALTERNATIVE (not kept): running GRU_B at sample rate via a
+second (3Hb, 3E) cell consuming [emb(x_2k), emb(e_2k), emb(p_2k+1)]
+with the shared dual-FC head reading the state after each update.
+At GRU_B 32 it matched this design's quality exactly (Bark-LSD 0.721
+at 150 epochs on the speech fixtures) but ran ~4% SLOWER (the three
+extra embedding gathers on the intra-pair critical path cost more
+than the removed (2*levels, hb+2E) head matmul), and at GRU_B 16 it
+was worse than this design at 32 (0.93 vs 0.72) - so the width of
+GRU_B, not the update rate, is what matters, and the concat head is
+the better speed/quality point.
+
 This is a beyond-reference capability (the reference's vocoder is
 plain LPCNet, reference README.md:13-15); quality is validated against
 the unbunched model at equal training budget in
-scripts/validate_bunched.py.
+scripts/validate_bunched.py (GRU_B 32 is the validated deployment
+width).
 """
 from __future__ import annotations
 
