@@ -156,3 +156,68 @@ def test_train_cb_and_generate_entries(tmp_path):
     assert len(files) == 4
     w = np.load(files[0])
     assert w.shape[1:] == (19, 36)
+
+
+def test_bitstream_fuzz_random_geometries():
+    """Property test: for randomized codebook geometries, stage counts
+    and frame streams, BOTH packers (fixed-layout and entropy-coded)
+    must round-trip the symbol stream exactly."""
+    from fpsc_tpu.codec import bitstream as bs
+    from fpsc_tpu.codec import range_coder as rc
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        n_vq = rng.randint(1, 4)
+        n_vq_bl = rng.randint(0, 3)
+        sizes = {
+            "scl": int(rng.choice([4, 16, 256])),
+            "scl_bl": int(rng.choice([0, 4, 16])),
+            "vq": [int(rng.choice([8, 64, 1024]))
+                   for _ in range(n_vq)],
+            "vq_bl": [int(rng.choice([8, 512]))
+                      for _ in range(n_vq_bl)],
+        }
+        length = rng.randint(1, 40)
+        ind1 = rng.rand(length) < rng.rand()
+        ind2 = rng.rand(length) < rng.rand()
+        idx = {
+            "scl": np.where(ind1, rng.randint(sizes["scl"],
+                                              size=length), -1),
+            "scl_bl": np.where(~ind1 & (sizes["scl_bl"] > 0),
+                               rng.randint(max(sizes["scl_bl"], 1),
+                                           size=length), -1),
+            "vq": np.stack([np.where(ind2, rng.randint(e, size=length),
+                                     -1) for e in sizes["vq"]], 1),
+            "vq_bl": (np.stack([np.where(~ind2,
+                                         rng.randint(e, size=length),
+                                         -1) for e in sizes["vq_bl"]],
+                               1) if n_vq_bl
+                      else np.full((length, 1), -1)),
+        }
+        # raw-scale pitch within the representable code range
+        pitch = np.stack([
+            (rng.randint(32, 288, length) - 100.0) / 50.0,
+            rng.uniform(-0.5, 0.4, length)], 1)
+        pcodes = bs.quantize_pitch(pitch)
+
+        packed = bs.pack_utterance(ind1, ind2, idx, pitch, sizes)
+        got = bs.unpack_utterance(packed, sizes)
+        packed_rc = rc.pack_utterance_rc(ind1, ind2, idx, pcodes, sizes)
+        got_rc = rc.unpack_utterance_rc(packed_rc, sizes)
+
+        for g in (got, got_rc):
+            np.testing.assert_array_equal(g["ind1"], ind1, err_msg=str(trial))
+            np.testing.assert_array_equal(g["ind2"], ind2)
+            np.testing.assert_array_equal(
+                np.where(ind1, g["indices"]["scl"], -1),
+                idx["scl"])
+            for s in range(n_vq):
+                np.testing.assert_array_equal(
+                    np.where(ind2, g["indices"]["vq"][:, s], -1),
+                    idx["vq"][:, s])
+            for s in range(n_vq_bl):
+                np.testing.assert_array_equal(
+                    np.where(~ind2, g["indices"]["vq_bl"][:, s], -1),
+                    idx["vq_bl"][:, s])
+            # pitch decodes through the same 8+3-bit codes
+            np.testing.assert_array_equal(
+                bs.quantize_pitch(np.asarray(g["pitch"])), pcodes)
