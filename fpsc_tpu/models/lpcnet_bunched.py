@@ -37,7 +37,10 @@ This is a beyond-reference capability (the reference's vocoder is
 plain LPCNet, reference README.md:13-15); quality is validated against
 the unbunched model at equal training budget in
 scripts/validate_bunched.py (GRU_B 32 is the validated deployment
-width).
+width).  The quality gap is data-bound: 0.08 Bark-LSD at the 24-utt /
+150-epoch fixture budget, shrinking to 0.018 (with identical
+STFT-LSD) at 96 utts / 400 epochs - while training 2x faster and
+sampling ~10-15% faster than unbunched (VALIDATION.md).
 """
 from __future__ import annotations
 
