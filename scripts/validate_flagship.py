@@ -1,0 +1,133 @@
+"""PRODUCTION-CONFIG validation: the flagship codec end to end.
+
+Runs the deployed configuration on the speech-realistic fixtures at
+the largest in-repo data budget: production predictor (384/128),
+reference-size codebooks (scl 256 + VQ 1024x2 above threshold,
+scl 16 + VQ 512 below), entropy-coded bitstream, and the PRODUCTION
+vocoder - bunched (lpcnet.bunch=2, GRU_B 32) with the GRU_A
+block-sparsity ramp to 0.2 density - synthesising through the fused
+kernel's bunch=2 + static-block-sparse path (the bench.py headline
+configuration, quality-checked here on decoded features).
+
+    python scripts/validate_flagship.py [pred_epochs] [voc_epochs]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+OUT = "/tmp/fpsc_flagship"
+
+
+def main(pred_epochs: int = 400, voc_epochs: int = 400):
+    import jax
+    import jax.numpy as jnp
+
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.train import generate_qtz_features, train_cb, train_frame
+
+    label = time.strftime("flag_%m%d_%H%M%S")
+    data = [
+        "data.synthetic=true", "data.synthetic_style=speech",
+        "data.synthetic_utterances=96",
+        "data.chunks=6", "data.batch_size=16",
+    ]
+    overrides = data + [
+        "predictor.gru_units1=384", "predictor.gru_units2=128",
+        f"train.epochs={pred_epochs}", "train.learning_rate=0.001",
+        f"train.save_dir={OUT}", "train.save_every=50",
+        # reference production codebook geometry (README.md:26-29)
+        "codec.vq_entries=1024,1024", "codec.vq_entries_bl=512",
+        "codec.scl_entries=256", "codec.scl_entries_bl=16",
+        f"codec.codebook_path={OUT}/cb.npz",
+        "codec.entropy_coding=true",
+    ]
+    cfg = Config(label=label)
+    apply_overrides(cfg, overrides)
+
+    print("=== 1. predictor (384/128, 96 utts) ===", flush=True)
+    t0 = time.time()
+    _, min_loss = train_frame.run(cfg)
+    print(f"{pred_epochs} epochs in {time.time()-t0:.0f}s, "
+          f"min val loss {min_loss:.4f}", flush=True)
+
+    transfer = [f"train.transfer_model={label}",
+                f"train.transfer_epoch={pred_epochs - 1}"]
+    print("=== 2. codebooks (1024x2 + 512, reference sizes) ===",
+          flush=True)
+    cfg_cb = Config(label=label)
+    apply_overrides(cfg_cb, overrides + transfer + [
+        "train.debugging=true"])
+    t0 = time.time()
+    train_cb.run(cfg_cb)
+    print(f"codebooks in {time.time()-t0:.0f}s", flush=True)
+
+    print("=== 3. encode 16 utterances: bitrate + MSE ===", flush=True)
+    out = generate_qtz_features.run(cfg_cb, max_utterances=16,
+                                    out_dir=f"{OUT}/qtz")
+    print(f"coded-feature MSE {out['mse']:.6f}; "
+          f"fixed-layout bitrate {out['bitrate']:.0f} b/s; "
+          f"usage entropies {out['entropies']}", flush=True)
+
+    print("=== 4. PRODUCTION vocoder: bunched + sparse ramp ===",
+          flush=True)
+    from fpsc_tpu.train import train_lpcnet
+
+    cfg_v = Config(label=label + "_voc")
+    apply_overrides(cfg_v, data + [
+        "train.learning_rate=0.001", f"train.epochs={voc_epochs}",
+        f"train.save_dir={OUT}", "train.save_every=100",
+        "lpcnet.bunch=2", "lpcnet.gru_b_units=32",
+        "lpcnet.gru_a_density=0.2",
+        "lpcnet.sparsify_start=200",
+        f"lpcnet.sparsify_end={voc_epochs * 4}",
+    ])
+    t0 = time.time()
+    voc_params, ce = train_lpcnet.run(cfg_v)
+    wh = np.asarray(voc_params.base.gru_a.wh)
+    blocks = wh.reshape(wh.shape[0] // 64, 64, wh.shape[1] // 64, 64)
+    live = float((np.abs(blocks).sum((1, 3)) > 0).mean())
+    print(f"{voc_epochs} epochs in {time.time()-t0:.0f}s, CE {ce:.3f}, "
+          f"GRU_A live-block fraction {live:.3f}", flush=True)
+
+    print("=== 5. full transmit chain -> bunched sparse kernel ===",
+          flush=True)
+    from fpsc_tpu.dsp.emphasis import deemphasis
+    from fpsc_tpu.eval.metrics import (log_spectral_distance,
+                                       stft_log_spectral_distance)
+    from fpsc_tpu.train import synthesis_qtz
+
+    cfg_s = Config(label=label)
+    apply_overrides(cfg_s, overrides + transfer)
+    results = synthesis_qtz.run(cfg_s, num_samples=3,
+                                out_dir=f"{OUT}/samples",
+                                vocoder_params=voc_params)
+    from fpsc_tpu.data.dataset import build_dataset
+    ds = build_dataset(cfg_s.data, "val")
+    lsds, slsds, rates = [], [], []
+    for ns, batch in enumerate(ds.iter_batches(1, seed=0)):
+        if ns >= len(results):
+            break
+        truth = deemphasis(batch["x"][0])
+        y = results[ns]["wav"][:len(truth)]
+        lsds.append(log_spectral_distance(truth[:len(y)], y))
+        slsds.append(stft_log_spectral_distance(truth[:len(y)], y))
+        rates.append(results[ns]["bitrate"])
+    noise = np.random.RandomState(0).randn(len(truth)).astype(
+        np.float32) * truth.std()
+    lsd_n = log_spectral_distance(truth, noise)
+    slsd_n = stft_log_spectral_distance(truth, noise)
+    print(f"decoded-audio Bark-LSD {np.mean(lsds):.3f} "
+          f"(noise {lsd_n:.3f}); STFT-LSD {np.mean(slsds):.2f} dB "
+          f"(noise {slsd_n:.2f}); entropy-coded bitrate "
+          f"{np.mean(rates):.0f} b/s", flush=True)
+    assert np.mean(lsds) < 0.7 * lsd_n
+    assert np.mean(rates) < 2000.0
+    print("FLAGSHIP VALIDATION PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 400)
