@@ -115,6 +115,24 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             (iota_lvl == idx_rows.astype(jnp.int32)).astype(acc_dtype),
             preferred_element_type=jnp.float32)
 
+    def emb_many(rows):
+        """n mu-law embeddings in ONE matmul: the n (256, B) one-hots
+        concatenate on the LANE dimension and hit the embedding table
+        as a single (E, 256) @ (256, nB) product, then split back per
+        128-lane block.  Exact same per-column dot products as n
+        separate emb_of calls (checksum-identical).  A/B on v5e at
+        batch 128: +3.8% on the bunched kernel (7 gathers/pair; the
+        per-gather ablation put each separate chain at ~0.5 us) and
+        +1.8% dense, but -7% on the SPARSE unbunched path (the
+        batched gather schedules worse against the block-sparse
+        matmul sequence) - so only the bunch=2 step uses it."""
+        oh = jnp.concatenate(
+            [(iota_lvl == r.astype(jnp.int32)).astype(acc_dtype)
+             for r in rows], axis=1)                    # (256, nB)
+        em = jnp.dot(emb_ref[:], oh,
+                     preferred_element_type=jnp.float32)  # (E, nB)
+        return [em[:, k * b:(k + 1) * b] for k in range(len(rows))]
+
     def gates(pre, gh, h, width):
         # exact f32 nonlinearities (bf16 and Pade-approx variants were
         # measured: no win on this part, so keep fidelity)
@@ -211,22 +229,23 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         (models/lpcnet_bunched.py semantics)."""
         h_a, h_b, hist, e_p2, e_p1, prev_y = carry
         pred1 = -jnp.sum(hist * lpc_rev, axis=0, keepdims=True)
-        e_cat = jnp.concatenate([
-            emb_of(_l2u_rows(hist[14:15])),
-            emb_of(_l2u_rows(hist[15:16])),
-            emb_of(_l2u_rows(e_p2)),
-            emb_of(_l2u_rows(e_p1)),
-            emb_of(_l2u_rows(pred1)),
-        ], axis=0).astype(acc_dtype)                          # (5E, B)
+        e_cat = jnp.concatenate(emb_many([
+            _l2u_rows(hist[14:15]),
+            _l2u_rows(hist[15:16]),
+            _l2u_rows(e_p2),
+            _l2u_rows(e_p1),
+            _l2u_rows(pred1),
+        ]), axis=0).astype(acc_dtype)                         # (5E, B)
         h_a, h_b, fcpre1 = gru_chain(e_cat, h_a, h_b)
         e1 = draw(fcpre1, u_ref[0, pl.ds(2 * t, 1), :])
         x1 = pred1 + e1
         hist = jnp.concatenate([hist[1:], x1], axis=0)
         pred2 = -jnp.sum(hist * lpc_rev, axis=0, keepdims=True)
+        emb_x1, emb_p2 = emb_many([_l2u_rows(x1), _l2u_rows(pred2)])
         h2in = jnp.concatenate([
             h_b.astype(acc_dtype),
-            emb_of(_l2u_rows(x1)).astype(acc_dtype),
-            emb_of(_l2u_rows(pred2)).astype(acc_dtype),
+            emb_x1.astype(acc_dtype),
+            emb_p2.astype(acc_dtype),
         ], axis=0)                                            # (hb+2E, B)
         fcpre2 = jnp.dot(fch_ref[:], h2in,
                          preferred_element_type=jnp.float32) + fchb_ref[:]
