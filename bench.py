@@ -81,6 +81,13 @@ def main():
     bpattern = derive_block_pattern(bparams.base.gru_a.wh, (64, 64))
     rtf_bunched = measure(bparams, bpattern)
 
+    # bunch=4 (one recurrent step per FOUR samples): 2419x measured but
+    # costs 0.30 Bark-LSD at the 96-utt budget (vs bunch=2's 0.018) -
+    # reported for information, NOT part of the quality-verified
+    # headline (VALIDATION.md)
+    b4params = lpcnet_bunched.init_bunched4(jax.random.PRNGKey(0), bcfg)
+    rtf_b4 = measure(b4params)
+
     rtf = max(rtf_dense, rtf_sparse, rtf_bunched)
     print(json.dumps({
         "metric": "lpcnet_synthesis_aggregate_rtf",
@@ -90,6 +97,7 @@ def main():
         "dense_rtf": round(rtf_dense, 1),
         "sparse_rtf_d0.2": round(rtf_sparse, 1),
         "bunched_sparse_rtf": round(rtf_bunched, 1),
+        "bunch4_rtf_quality_tradeoff": round(rtf_b4, 1),
     }))
 
 

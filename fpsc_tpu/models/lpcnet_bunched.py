@@ -253,3 +253,232 @@ def generate(params: BunchedParams, feat: jax.Array, periods: jax.Array,
         frame_step, (h_a, h_b, x_hist, e_p2, e_p1, prev_y), frame_xs)
     # ys: (L, 80, 2, B) -> (B, T)
     return jnp.transpose(ys.reshape(length * C.FRAME_SIZE, b), (1, 0))
+
+
+# --------------------------------------------------------------------------
+# Bunch = 4: one recurrent step per FOUR samples
+# --------------------------------------------------------------------------
+
+class Bunched4Params(NamedTuple):
+    """GRU_A/GRU_B once per 4 samples.  GRU_A input = embeddings of the
+    FOUR previous samples + FOUR previous excitations + pred of the
+    bunch's first sample (9E + cond).  Sub-samples 2..4 each get their
+    own dual-FC head on [h_b, emb(x_prev1), emb(x_prev2), emb(pred_s)]
+    (the two most recent realised samples + own LPC prediction; the
+    prediction linearly summarises the full 16-sample history, so the
+    factorisation conditions on everything that matters).  Head
+    weights for the three positions are stacked row-wise:
+    w (3*levels, hb + 3E).
+
+    MEASURED TRADEOFF (96 utts, 400 epochs, GRU_B 32): 2419x RTF at
+    batch 128 (dense; sparsity no longer helps - the recurrent matmul
+    is amortised over 4 samples) vs bunch=2's 2284x, but Bark-LSD
+    0.837 vs bunch=2's 0.534 and unbunched 0.516 - a 0.30-LSD quality
+    cost where bunch=2 pays 0.018.  bunch=2 is therefore the deployed
+    default; this variant serves quality-tolerant applications."""
+    base: lpcnet.LPCNetParams
+    fc3: DenseParams                 # stacked position heads, branch 1
+    fc4: DenseParams                 # stacked position heads, branch 2
+
+
+def init_bunched4(key: jax.Array,
+                  cfg: lpcnet.LPCNetConfig = lpcnet.LPCNetConfig()
+                  ) -> Bunched4Params:
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    base = lpcnet.init_lpcnet(k0, cfg)
+    gru_a_in = 9 * cfg.embed_dim + cfg.cond_units
+    base = base._replace(gru_a=init_gru(k1, gru_a_in, cfg.gru_a_units))
+    h2_in = cfg.gru_b_units + 3 * cfg.embed_dim
+    return Bunched4Params(
+        base=base,
+        fc3=init_dense(k2, h2_in, 3 * cfg.levels),
+        fc4=init_dense(k3, h2_in, 3 * cfg.levels),
+    )
+
+
+def forward4(params: Bunched4Params, feat, periods, x, exc, pred):
+    """Teacher-forced logits, one (B, K, 256) per sub-sample (list of
+    4); stream alignment identical to lpcnet.forward."""
+    base = params.base
+    levels = base.fc1.w.shape[0]
+    cond = lpcnet.frame_net(base, feat, periods)
+    cond_p = jnp.repeat(cond, C.FRAME_SIZE // 4, axis=1)   # (B, K, c)
+
+    b, t = x.shape
+    k = t // 4
+    xb = x.reshape(b, k, 4)
+    eb = exc.reshape(b, k, 4)
+    pb = pred.reshape(b, k, 4)
+
+    def emb(v):
+        return embedding(base.sample_emb, l2u_index(v * 32768.0))
+
+    def prev(stream, s):
+        """value at global sub-position s-4 (previous bunch)."""
+        r = jnp.roll(stream[:, :, s], 1, axis=1)
+        return r.at[:, 0].set(0.0)
+
+    inp = jnp.concatenate(
+        [emb(prev(xb, s)) for s in range(4)]
+        + [emb(prev(eb, s)) for s in range(4)]
+        + [emb(pb[:, :, 0]), cond_p], axis=-1)
+    ya, _ = gru_scan(base.gru_a, inp)
+    yb, _ = gru_scan(base.gru_b,
+                     jnp.concatenate([ya, cond_p], axis=-1))
+    logits = [(jnp.tanh(dense(base.fc1, yb))
+               + jnp.tanh(dense(base.fc2, yb)))]
+    for s in range(1, 4):
+        # realised samples s-1 and s-2 within/before the bunch
+        xp1 = xb[:, :, s - 1]
+        xp2 = xb[:, :, s - 2] if s >= 2 else prev(xb, 3)
+        h2in = jnp.concatenate(
+            [yb, emb(xp1), emb(xp2), emb(pb[:, :, s])], axis=-1)
+        r0 = (s - 1) * levels
+        w3 = params.fc3.w[r0:r0 + levels]
+        b3 = params.fc3.b[r0:r0 + levels]
+        w4 = params.fc4.w[r0:r0 + levels]
+        b4 = params.fc4.b[r0:r0 + levels]
+        logits.append(
+            jnp.tanh(jnp.dot(h2in, w3.T,
+                             preferred_element_type=jnp.float32) + b3)
+            + jnp.tanh(jnp.dot(h2in, w4.T,
+                               preferred_element_type=jnp.float32) + b4))
+    return logits
+
+
+def loss_fn4(params: Bunched4Params, feat, periods, x, lpc) -> jax.Array:
+    exc, pred_t = lpcnet.teacher_streams(x, lpc)
+    logits = forward4(params, feat, periods, x, exc, pred_t)
+    b, t = x.shape
+    eb = exc.reshape(b, t // 4, 4)
+    nll = 0.0
+    for s in range(4):
+        tgt = l2u_index(eb[:, :, s] * 32768.0)
+        logp = jax.nn.log_softmax(logits[s], axis=-1)
+        nll += -jnp.mean(
+            jnp.take_along_axis(logp, tgt[..., None], axis=-1))
+    return nll / 4.0
+
+
+def sparsify_gru_a4(params: Bunched4Params, density: float,
+                    block=(16, 32)) -> Bunched4Params:
+    return params._replace(
+        base=lpcnet.sparsify_gru_a(params.base, density, block))
+
+
+def generate4(params: Bunched4Params, feat, periods, lpc, key,
+              corr: Optional[jax.Array] = None,
+              deemphasis: float = 0.85,
+              unroll: int = 2) -> jax.Array:
+    """XLA oracle for the bunch=4 sampler; same uniform-stream
+    contract (consumed four per bunch)."""
+    base = params.base
+    levels = base.fc1.w.shape[0]
+    b, length, _ = feat.shape
+    cond = lpcnet.frame_net(base, feat, periods)
+    if corr is None:
+        corr = jnp.clip(feat[..., 19] * C.MAXI, -0.5, 0.5)
+
+    emb_t = base.sample_emb.table
+    e_dim = emb_t.shape[1]
+    wi_a = base.gru_a.wi
+    cond_a = jnp.matmul(cond, wi_a[:, 9 * e_dim:].T,
+                        preferred_element_type=jnp.float32) + base.gru_a.bi
+    wi_b = base.gru_b.wi
+    ha_units = base.gru_a.units
+    wi_b_h = wi_b[:, :ha_units]
+    cond_b = jnp.matmul(cond, wi_b[:, ha_units:].T,
+                        preferred_element_type=jnp.float32) + base.gru_b.bi
+
+    h_a = jnp.zeros((b, ha_units), jnp.float32)
+    h_b = jnp.zeros((b, base.gru_b.units), jnp.float32)
+    x_hist = jnp.zeros((b, C.LPC_ORDER), jnp.float32)
+    e_hist = jnp.zeros((b, 4), jnp.float32)
+    prev_y = jnp.zeros((b,), jnp.float32)
+
+    lpc_rev = lpc[..., ::-1]
+    uniforms = jnp.transpose(
+        jax.random.uniform(key, (length, b, C.FRAME_SIZE)),
+        (0, 2, 1)).reshape(length, C.FRAME_SIZE // 4, 4, b)
+    u2l_table = u2l(jnp.arange(256)) / 32768.0
+
+    def emb_rows(v):
+        return emb_t[l2u_index(v * 32768.0)]
+
+    frame_xs = {
+        "cond_a": jnp.swapaxes(cond_a, 0, 1),
+        "cond_b": jnp.swapaxes(cond_b, 0, 1),
+        "lpc": jnp.swapaxes(lpc_rev, 0, 1),
+        "corr": jnp.swapaxes(corr, 0, 1),
+        "u": uniforms,
+    }
+
+    def frame_step(carry, fx):
+        temp = 1.0 + jnp.maximum(0.0, 1.5 * fx["corr"] - 0.5)[:, None]
+
+        def bunch_step(carry, u):
+            h_a, h_b, x_hist, e_hist, prev_y = carry
+            pred1 = -jnp.sum(x_hist * fx["lpc"], axis=-1)
+            inp = jnp.concatenate(
+                [emb_rows(x_hist[:, -4 + s]) for s in range(4)]
+                + [emb_rows(e_hist[:, s]) for s in range(4)]
+                + [emb_rows(pred1)], axis=-1)
+            pre_a = jnp.dot(inp, wi_a[:, :9 * e_dim].T,
+                            preferred_element_type=jnp.float32) + \
+                fx["cond_a"]
+            h_a = _gates(pre_a, h_a, base.gru_a.wh, base.gru_a.bh)
+            pre_b = jnp.dot(h_a, wi_b_h.T,
+                            preferred_element_type=jnp.float32) + \
+                fx["cond_b"]
+            h_b = _gates(pre_b, h_b, base.gru_b.wh, base.gru_b.bh)
+            logits1 = (jnp.tanh(dense(base.fc1, h_b))
+                       + jnp.tanh(dense(base.fc2, h_b)))
+            ys, es = [], []
+            pred_s = pred1
+            for s in range(4):
+                if s == 0:
+                    logits = logits1
+                else:
+                    h2in = jnp.concatenate(
+                        [h_b, emb_rows(x_hist[:, -1]),
+                         emb_rows(x_hist[:, -2]),
+                         emb_rows(pred_s)], axis=-1)
+                    r0 = (s - 1) * levels
+                    logits = (
+                        jnp.tanh(jnp.dot(
+                            h2in, params.fc3.w[r0:r0 + levels].T,
+                            preferred_element_type=jnp.float32)
+                            + params.fc3.b[r0:r0 + levels])
+                        + jnp.tanh(jnp.dot(
+                            h2in, params.fc4.w[r0:r0 + levels].T,
+                            preferred_element_type=jnp.float32)
+                            + params.fc4.b[r0:r0 + levels]))
+                e_s = _sample_step(logits, temp, u[s][:, None],
+                                   u2l_table)
+                x_s = pred_s + e_s
+                x_hist = jnp.concatenate(
+                    [x_hist[:, 1:], x_s[:, None]], axis=1)
+                es.append(e_s)
+                y_s = x_s + deemphasis * prev_y
+                prev_y = y_s
+                ys.append(y_s)
+                if s < 3:
+                    pred_s = -jnp.sum(x_hist * fx["lpc"], axis=-1)
+            e_hist = jnp.stack(es, axis=1)
+            return ((h_a, h_b, x_hist, e_hist, prev_y),
+                    jnp.stack(ys))
+
+        carry, ys = jax.lax.scan(bunch_step, carry, fx["u"],
+                                 unroll=unroll)
+        return carry, ys
+
+    _, ys = jax.lax.scan(
+        frame_step, (h_a, h_b, x_hist, e_hist, prev_y), frame_xs)
+    return jnp.transpose(ys.reshape(length * C.FRAME_SIZE, b), (1, 0))
+
+
+def generate_any(params, *args, **kwargs):
+    """Dispatch to the right XLA sampler for either bunched variant."""
+    if isinstance(params, Bunched4Params):
+        return generate4(params, *args, **kwargs)
+    return generate(params, *args, **kwargs)

@@ -88,8 +88,10 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             ha: int, hb: int, levels: int, deemph: float,
             u2l_base: float, acc_dtype, gru_a_pattern=None,
             sparse_block=(128, 128), bunch: int = 1):
-    if bunch == 2:
-        # head-2 dual FC: stacked (2*levels, hb + 2E) weight + bias
+    if bunch in (2, 4):
+        # sub-sample head dual FCs: bunch=2 -> stacked (2*levels,
+        # hb + 2E); bunch=4 -> three per-position blocks stacked
+        # row-wise as (6*levels, hb + 3E), block s-1 = [fc3_s; fc4_s]
         fch_ref, fchb_ref = refs[0], refs[1]
         refs = refs[2:]
     out_ref, h_a_s, h_b_s, hist_s = refs
@@ -126,6 +128,12 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         +1.8% dense, but -7% on the SPARSE unbunched path (the
         batched gather schedules worse against the block-sparse
         matmul sequence) - so only the bunch=2 step uses it."""
+        if b % 128:
+            # the (E, nB) -> n x (E, B) lane split below requires
+            # 128-aligned column offsets (Mosaic: "offset mismatch on
+            # non-concat dimension" otherwise) - small batches fall
+            # back to per-gather matmuls
+            return [emb_of(r) for r in rows]
         oh = jnp.concatenate(
             [(iota_lvl == r.astype(jnp.int32)).astype(acc_dtype)
              for r in rows], axis=1)                    # (256, nB)
@@ -257,6 +265,46 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         out_ref[0, pl.ds(2 * t, 2), :] = jnp.concatenate([y1, y2], axis=0)
         return h_a, h_b, hist, e1, e2, y2
 
+    def step4(t, carry):
+        """Bunch-4 step: one GRU chain, four sampled excitations
+        (models/lpcnet_bunched.py Bunched4Params semantics)."""
+        h_a, h_b, hist, e_hist, prev_y = carry      # e_hist (4, B)
+        pred = -jnp.sum(hist * lpc_rev, axis=0, keepdims=True)
+        e_cat = jnp.concatenate(emb_many(
+            [_l2u_rows(hist[12 + s:13 + s]) for s in range(4)]
+            + [_l2u_rows(e_hist[s:s + 1]) for s in range(4)]
+            + [_l2u_rows(pred)]), axis=0).astype(acc_dtype)  # (9E, B)
+        h_a, h_b, fcpre1 = gru_chain(e_cat, h_a, h_b)
+        es = []
+        ys = []
+        y_prev = prev_y
+        for s in range(4):
+            if s == 0:
+                fcpre = fcpre1
+            else:
+                pred = -jnp.sum(hist * lpc_rev, axis=0, keepdims=True)
+                xp1, xp2, pp = emb_many([
+                    _l2u_rows(hist[15:16]), _l2u_rows(hist[14:15]),
+                    _l2u_rows(pred)])
+                h2in = jnp.concatenate([
+                    h_b.astype(acc_dtype), xp1.astype(acc_dtype),
+                    xp2.astype(acc_dtype), pp.astype(acc_dtype)],
+                    axis=0)                         # (hb+3E, B)
+                r0 = (s - 1) * 2 * levels
+                fcpre = jnp.dot(
+                    fch_ref[r0:r0 + 2 * levels], h2in,
+                    preferred_element_type=jnp.float32
+                ) + fchb_ref[r0:r0 + 2 * levels]
+            e_s = draw(fcpre, u_ref[0, pl.ds(4 * t + s, 1), :])
+            x_s = pred + e_s
+            hist = jnp.concatenate([hist[1:], x_s], axis=0)
+            y_s = x_s + deemph * y_prev
+            y_prev = y_s
+            es.append(e_s)
+            ys.append(y_s)
+        out_ref[0, pl.ds(4 * t, 4), :] = jnp.concatenate(ys, axis=0)
+        return h_a, h_b, hist, jnp.concatenate(es, axis=0), y_prev
+
     if bunch == 1:
         h_a, h_b, hist, prev_e, prev_y = jax.lax.fori_loop(
             0, C.FRAME_SIZE, step,
@@ -267,7 +315,7 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         hist_s[:16] = hist
         hist_s[16:17] = prev_e
         hist_s[17:18] = prev_y
-    else:
+    elif bunch == 2:
         h_a, h_b, hist, e_p2, e_p1, prev_y = jax.lax.fori_loop(
             0, C.FRAME_SIZE // 2, step2,
             (h_a_s[:ha], h_b_s[:hb], hist_s[:16],
@@ -278,6 +326,16 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         hist_s[16:17] = e_p2
         hist_s[17:18] = e_p1
         hist_s[18:19] = prev_y
+    else:
+        h_a, h_b, hist, e_hist, prev_y = jax.lax.fori_loop(
+            0, C.FRAME_SIZE // 4, step4,
+            (h_a_s[:ha], h_b_s[:hb], hist_s[:16],
+             hist_s[16:20], hist_s[20:21]))
+        h_a_s[:ha] = h_a
+        h_b_s[:hb] = h_b
+        hist_s[:16] = hist
+        hist_s[16:20] = e_hist
+        hist_s[20:21] = prev_y
 
 
 def derive_block_pattern(wh, block=(128, 128)):
@@ -347,11 +405,15 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     """
     from fpsc_tpu.models.lpcnet import frame_net
 
-    bunched = hasattr(params, "base")      # BunchedParams
-    bunch = 2 if bunched else 1
-    head2 = params if bunched else None
+    bunched = hasattr(params, "base")      # BunchedParams / Bunched4
     if bunched:
+        head2 = params
+        # Bunched4Params stacks three position heads row-wise
+        bunch = (4 if params.fc3.w.shape[0]
+                 == 3 * params.base.fc1.w.shape[0] else 2)
         params = params.base
+    else:
+        head2, bunch = None, 1
     n_emb = 2 * bunch + 1                  # embeddings into GRU_A
 
     b, length, _ = feat.shape
@@ -449,11 +511,19 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     ]
     if bunched:
         in_specs += [vmem, vmem]
-        operands += [
-            jnp.concatenate([head2.fc3.w, head2.fc4.w],
-                            axis=0).astype(dtype),
-            jnp.concatenate([head2.fc3.b, head2.fc4.b])[:, None],
-        ]
+        if bunch == 2:
+            fch_w = jnp.concatenate([head2.fc3.w, head2.fc4.w], axis=0)
+            fch_b = jnp.concatenate([head2.fc3.b, head2.fc4.b])
+        else:
+            # interleave per position: block s-1 = [fc3_s; fc4_s]
+            wblocks, bblocks = [], []
+            for s in range(3):
+                r = slice(s * levels, (s + 1) * levels)
+                wblocks += [head2.fc3.w[r], head2.fc4.w[r]]
+                bblocks += [head2.fc3.b[r], head2.fc4.b[r]]
+            fch_w = jnp.concatenate(wblocks, axis=0)
+            fch_b = jnp.concatenate(bblocks)
+        operands += [fch_w.astype(dtype), fch_b[:, None]]
 
     out = pl.pallas_call(
         kernel,

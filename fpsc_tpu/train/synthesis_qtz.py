@@ -55,11 +55,14 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
             gru_b_units=cfg.lpcnet.gru_b_units,
             embed_dim=cfg.lpcnet.embed_dim,
             cond_units=cfg.lpcnet.cond_units)
-        assert cfg.lpcnet.bunch in (1, 2), cfg.lpcnet.bunch
+        assert cfg.lpcnet.bunch in (1, 2, 4), cfg.lpcnet.bunch
         key = jax.random.PRNGKey(cfg.train.seed + 2)
         if cfg.lpcnet.bunch == 2:
             from fpsc_tpu.models import lpcnet_bunched
             vocoder_params = lpcnet_bunched.init_bunched(key, lcfg)
+        elif cfg.lpcnet.bunch == 4:
+            from fpsc_tpu.models import lpcnet_bunched
+            vocoder_params = lpcnet_bunched.init_bunched4(key, lcfg)
         else:
             vocoder_params = lpcnet.init_lpcnet(key, lcfg)
         if cfg.train.vocoder_model:
@@ -135,9 +138,9 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
                 corr=jnp.asarray(coded_un[..., 19]),
                 gru_a_pattern=pat))
         else:
-            if hasattr(vocoder_params, "base"):     # BunchedParams
+            if hasattr(vocoder_params, "base"):     # bunched variants
                 from fpsc_tpu.models import lpcnet_bunched
-                gen = lpcnet_bunched.generate
+                gen = lpcnet_bunched.generate_any
             else:
                 gen = lpcnet.generate
             y = np.asarray(gen(

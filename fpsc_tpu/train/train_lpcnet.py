@@ -109,8 +109,9 @@ def build_optimizer(cfg: Config, params):
         optax.adam(cfg.train.learning_rate),
     )
     if cfg.train.upd_f_only:
-        if isinstance(params, lpcnet_bunched.BunchedParams):
-            labels = lpcnet_bunched.BunchedParams(
+        if isinstance(params, (lpcnet_bunched.BunchedParams,
+                               lpcnet_bunched.Bunched4Params)):
+            labels = type(params)(
                 base=_base_freeze_labels(params.base),
                 fc3=jax.tree_util.tree_map(lambda _: "freeze",
                                            params.fc3),
@@ -139,18 +140,22 @@ def run(cfg: Config, data_dir: Optional[str] = None,
         frame_kernel=cfg.lpcnet.frame_kernel,
     )
     from fpsc_tpu.models import lpcnet_bunched
-    assert cfg.lpcnet.bunch in (1, 2), (
-        f"lpcnet.bunch={cfg.lpcnet.bunch}: only 1 (plain LPCNet) and "
-        f"2 (bunched pairs) are implemented")
-    bunched = cfg.lpcnet.bunch == 2
+    assert cfg.lpcnet.bunch in (1, 2, 4), (
+        f"lpcnet.bunch={cfg.lpcnet.bunch}: 1 (plain LPCNet), "
+        f"2 (pairs) and 4 are implemented")
+    bunch = cfg.lpcnet.bunch
     if init_params is not None:
         # deep-copy: train_step donates its param buffers, which would
         # otherwise delete the caller's arrays out from under it
         params = jax.tree_util.tree_map(
             lambda x: jnp.array(x, copy=True), init_params)
-        bunched = isinstance(params, lpcnet_bunched.BunchedParams)
-    elif bunched:
+        bunch = {lpcnet_bunched.BunchedParams: 2,
+                 lpcnet_bunched.Bunched4Params: 4}.get(type(params), 1)
+    elif bunch == 2:
         params = lpcnet_bunched.init_bunched(
+            jax.random.PRNGKey(cfg.train.seed), mcfg)
+    elif bunch == 4:
+        params = lpcnet_bunched.init_bunched4(
             jax.random.PRNGKey(cfg.train.seed), mcfg)
     else:
         params = lpcnet.init_lpcnet(jax.random.PRNGKey(cfg.train.seed),
@@ -175,15 +180,16 @@ def run(cfg: Config, data_dir: Optional[str] = None,
         train_ds = coded_dataset(data_dir, train_ds)
         print(f"finetuning on coded features from {data_dir} "
               f"({len(train_ds)} utterances)")
-    train_step, eval_step = make_step(
-        tx, lpcnet_bunched.loss_fn if bunched else lpcnet.loss_fn)
+    loss_fns = {1: lpcnet.loss_fn, 2: lpcnet_bunched.loss_fn,
+                4: lpcnet_bunched.loss_fn4}
+    train_step, eval_step = make_step(tx, loss_fns[bunch])
 
     label = cfg.label + "_s"
     min_loss = float("inf")
     global_step = 0
     sparsify = jax.jit(
-        lpcnet_bunched.sparsify_gru_a if bunched
-        else lpcnet.sparsify_gru_a,
+        {1: lpcnet.sparsify_gru_a, 2: lpcnet_bunched.sparsify_gru_a,
+         4: lpcnet_bunched.sparsify_gru_a4}[bunch],
         static_argnames=("density", "block"))
     for epoch in range(cfg.train.epochs):
         t0 = time.time()

@@ -161,3 +161,47 @@ def test_bunched_training_learns():
     params, min_loss = train_lpcnet.run(cfg)
     assert isinstance(params, lb.BunchedParams)
     assert min_loss < 5.35, f"CE did not drop: {min_loss}"
+
+
+def test_pallas_bunch4_matches_xla_sampler():
+    """bunch=4 kernel vs the XLA oracle (statistical AR contract)."""
+    from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
+    params = lb.init_bunched4(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(43)
+    b, frames = 8, 2
+    feat = jnp.asarray((rng.randn(b, frames, 20) * 0.3).astype(np.float32))
+    periods = jnp.asarray(rng.randint(32, 256, (b, frames)).astype(np.int32))
+    lpc = jnp.asarray((rng.randn(b, frames, 16) * 0.05).astype(np.float32))
+    key = jax.random.PRNGKey(2)
+    want = np.asarray(lb.generate4(params, feat, periods, lpc, key))
+    got = np.asarray(pallas_generate(
+        params, feat, periods, lpc, key, dtype=jnp.float32,
+        interpret=True))
+    clean = 0
+    for i in range(b):
+        diverged = np.argwhere(np.abs(got[i] - want[i]) > 1e-3).ravel()
+        if len(diverged) == 0:
+            clean += 1
+        else:
+            assert int(diverged[0]) > 0
+    assert clean >= b - 2, f"only {clean}/{b} items flip-free"
+
+
+def test_bunch4_training_learns():
+    import time
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.train import train_lpcnet
+
+    cfg = Config(label=time.strftime("b4t_%m%d_%H%M%S"))
+    apply_overrides(cfg, [
+        "data.synthetic=true", "data.synthetic_utterances=4",
+        "data.chunks=2", "data.batch_size=4",
+        "lpcnet.bunch=4", "lpcnet.gru_a_units=48",
+        "lpcnet.gru_b_units=16", "lpcnet.embed_dim=16",
+        "lpcnet.cond_units=24",
+        "train.epochs=15", "train.learning_rate=0.003",
+        "train.save_dir=/tmp/fpsc_test_b4", "train.save_every=100",
+    ])
+    params, min_loss = train_lpcnet.run(cfg)
+    assert isinstance(params, lb.Bunched4Params)
+    assert min_loss < 5.4, f"CE did not drop: {min_loss}"
