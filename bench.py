@@ -81,11 +81,14 @@ def main():
     bpattern = derive_block_pattern(bparams.base.gru_a.wh, (64, 64))
     rtf_bunched = measure(bparams, bpattern)
 
-    # bunch=4 (one recurrent step per FOUR samples): 2419x measured but
-    # costs 0.30 Bark-LSD at the 96-utt budget (vs bunch=2's 0.018) -
-    # reported for information, NOT part of the quality-verified
-    # headline (VALIDATION.md)
-    b4params = lpcnet_bunched.init_bunched4(jax.random.PRNGKey(0), bcfg)
+    # bunch=4 (one recurrent step per FOUR samples): ~2370-2420x
+    # measured but costs 0.19 Bark-LSD at the 96-utt budget at its
+    # best width (GRU_B 64: LSD 0.704 vs bunch=2's 0.534) - reported
+    # for information, NOT part of the quality-verified headline
+    # (VALIDATION.md)
+    b4cfg = lpcnet.LPCNetConfig(gru_b_units=64)
+    b4params = lpcnet_bunched.init_bunched4(jax.random.PRNGKey(0),
+                                            b4cfg)
     rtf_b4 = measure(b4params)
 
     rtf = max(rtf_dense, rtf_sparse, rtf_bunched)

@@ -270,12 +270,14 @@ class Bunched4Params(NamedTuple):
     weights for the three positions are stacked row-wise:
     w (3*levels, hb + 3E).
 
-    MEASURED TRADEOFF (96 utts, 400 epochs, GRU_B 32): 2419x RTF at
-    batch 128 (dense; sparsity no longer helps - the recurrent matmul
-    is amortised over 4 samples) vs bunch=2's 2284x, but Bark-LSD
-    0.837 vs bunch=2's 0.534 and unbunched 0.516 - a 0.30-LSD quality
-    cost where bunch=2 pays 0.018.  bunch=2 is therefore the deployed
-    default; this variant serves quality-tolerant applications."""
+    MEASURED TRADEOFF (96 utts, 400 epochs): ~2370-2420x RTF at batch
+    128 (dense; sparsity no longer helps - the recurrent matmul is
+    amortised over 4 samples) vs bunch=2's 2284x.  Quality: Bark-LSD
+    0.837 at GRU_B 32, recovering to 0.704 at GRU_B 64 (at no RTF
+    cost - the wider cell tiles the same), vs bunch=2's 0.534 and
+    unbunched 0.516.  A 0.19-LSD cost where bunch=2 pays 0.018:
+    bunch=2 is therefore the deployed default; this variant (at
+    GRU_B 64) serves quality-tolerant applications."""
     base: lpcnet.LPCNetParams
     fc3: DenseParams                 # stacked position heads, branch 1
     fc4: DenseParams                 # stacked position heads, branch 2
