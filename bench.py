@@ -49,7 +49,7 @@ def main():
         float(gen(p, feat, periods, lpc,
                   jax.random.PRNGKey(1)))  # compile + warm up
         times = []
-        for i in range(7):
+        for i in range(5):
             t0 = time.perf_counter()
             float(gen(p, feat, periods, lpc, jax.random.PRNGKey(i)))
             times.append(time.perf_counter() - t0)
