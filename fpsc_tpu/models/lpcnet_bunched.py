@@ -37,10 +37,14 @@ This is a beyond-reference capability (the reference's vocoder is
 plain LPCNet, reference README.md:13-15); quality is validated against
 the unbunched model at equal training budget in
 scripts/validate_bunched.py (GRU_B 32 is the validated deployment
-width).  The quality gap is data-bound: 0.08 Bark-LSD at the 24-utt /
-150-epoch fixture budget, shrinking to 0.018 (with identical
-STFT-LSD) at 96 utts / 400 epochs - while training 2x faster and
-sampling ~10-15% faster than unbunched (VALIDATION.md).
+width).  The quality gap vs unbunched is REGIME-DEPENDENT: 0.08
+Bark-LSD at 24 utts / 150 epochs, 0.018 at 96 utts / 400 epochs,
+but 0.16 at 192 utts when the update count stays fixed (the bunched
+model reaches BETTER teacher-forced CE yet loses more free-running
+quality as data diversity outgrows the update budget - an
+exposure-bias signature).  Training runs ~2x faster per epoch and
+sampling ~10-15% faster than unbunched, so equal-wall-time budgets
+narrow the gap; see VALIDATION.md for all three datapoints.
 """
 from __future__ import annotations
 
