@@ -129,7 +129,10 @@ void frame_cepstra(const float* frame, float* ceps) {
 //    even grid, judged against the ORIGINAL peak at
 //    kOctaveThreshold * peak, smallest passing lag wins,
 // 3. +-1 sample refinement around the winner,
-// with frames whose best correlation is <= 0 reporting kPitchMax.
+// with frames whose even-grid peak correlation is <= 0 reporting
+// kPitchMax directly — stages 2-3 are SKIPPED for such frames so an
+// odd-lag refinement cannot flip an unvoiced frame to voiced with
+// near-zero confidence (advisor round-2 finding).
 constexpr double kOctaveThreshold = 0.7;
 
 void pitch_features(const std::vector<float>& pad, int t, float* out) {
@@ -158,6 +161,12 @@ void pitch_features(const std::vector<float>& pad, int t, float* out) {
       best_corr = corr[i];
       best_lag = kPitchMin + 2 * i;
     }
+  }
+
+  if (best_corr <= 0.0) {  // unvoiced at the grid: skip stages 2-3
+    out[0] = (float)((kPitchMax - 100.0) / 50.0);
+    out[1] = (float)(0.0 - 0.5);
+    return;
   }
 
   // stage 2: sub-lag preference from the ORIGINAL peak

@@ -141,34 +141,89 @@ class AdaptiveFreqTable:
 # Round-1's fixed-layout bitstream spent 11 bits/frame (1100 b/s, ~45%
 # of the stream) on the pitch side-channel.  Here every stream is
 # range-coded with ADAPTIVE models (both sides update identically, so
-# no side information is transmitted): the period code as a delta with
-# escape (voiced pitch moves by 0..2 codes per 10 ms), the 3-bit corr
-# code, the two indicator bits, and all codebook indices.  Static
-# usage-derived tables (from training-set counts) can override the
-# index models via `static_models`.
+# no side information is transmitted):
+#
+# * the period code as a delta with escape (voiced pitch moves by 0..2
+#   codes per 10 ms), the 3-bit corr code conditioned on its previous
+#   symbol,
+# * the two indicator bits conditioned on (previous value, run-length
+#   bucket) — long same-value runs sharpen the prediction beyond the
+#   order-1 model,
+# * VQ stage s >= 1 conditioned on a coarse _VQ_CTX-bucket hash of the
+#   stage s-1 index (the residual stages are statistically coupled;
+#   the reference only *prints* per-stage usage entropies,
+#   generate_qtz_features.py:94-101),
+# * optional shared PRIORS: per-stream training-set usage counts that
+#   travel with the codebook artifacts (like the codebooks themselves,
+#   they are part of the model, not the payload), so the adaptive
+#   tables do not start uniform on 1024-symbol alphabets.  Collect
+#   with `collect_priors`; pass the same dict to pack and unpack.
+#
+# Static usage-derived tables can still override any index model via
+# `static_models`.
 
 _PITCH_DELTA_RANGE = 32            # deltas in [-32, 31]; else escape
 _PITCH_ESCAPE = 2 * _PITCH_DELTA_RANGE            # symbol 64
 
+_VQ_CTX = 4          # stage-conditioning buckets (index >> (bits-2))
+_IND_RUN_CTX = 6     # run buckets: 0 (t=0) then bit_length(min(run,16))
 
-def _utterance_models(sizes: Dict, static_models: Dict = None) -> Dict:
-    # indicators and the corr code are strongly temporally correlated:
-    # condition each on its previous symbol (one adaptive table per
-    # context), worth ~100 b/s over the order-0 models
+
+def _vq_ctx(prev_index: int, prev_size: int) -> int:
+    """Coarse bucket of the previous stage's index (top 2 bits)."""
+    shift = max(0, (int(prev_size) - 1).bit_length() - 2)
+    return min(_VQ_CTX - 1, int(prev_index) >> shift)
+
+
+def _run_bucket(run: int) -> int:
+    """0 for the first frame, else bit_length(min(run, 16)) in 1..5."""
+    return 0 if run == 0 else min(int(run), 16).bit_length()
+
+
+def _prior_table(n: int, prior, prior_mass: int = 2048,
+                 limit: int = 1 << 12):
+    """AdaptiveFreqTable seeded from training counts (or uniform)."""
+    t = AdaptiveFreqTable(n, limit=limit)
+    if prior is not None:
+        p = np.asarray(prior, np.float64)
+        assert p.shape == (n,), (p.shape, n)
+        scaled = np.floor(p / max(p.sum(), 1.0) * prior_mass).astype(
+            np.int64)
+        t.counts = 1 + scaled
+        t._rebuild()
+    return t
+
+
+def _utterance_models(sizes: Dict, static_models: Dict = None,
+                      priors: Dict = None) -> Dict:
+    priors = priors or {}
     m = {
-        "ind1": [AdaptiveFreqTable(2) for _ in range(2)],
-        "ind2": [AdaptiveFreqTable(2) for _ in range(2)],
-        "scl": AdaptiveFreqTable(sizes["scl"]),
+        "ind1": [[_prior_table(2, None) for _ in range(_IND_RUN_CTX)]
+                 for _ in range(2)],
+        "ind2": [[_prior_table(2, None) for _ in range(_IND_RUN_CTX)]
+                 for _ in range(2)],
+        "scl": _prior_table(sizes["scl"], priors.get("scl")),
         "pitch_abs": FreqTable(np.ones(256)),
         "pitch_delta": AdaptiveFreqTable(_PITCH_ESCAPE + 1),
         "corr": [AdaptiveFreqTable(8) for _ in range(8)],
     }
     if sizes.get("scl_bl"):
-        m["scl_bl"] = AdaptiveFreqTable(sizes["scl_bl"])
-    for s, e in enumerate(sizes["vq"]):
-        m[f"vq_{s}"] = AdaptiveFreqTable(e)
-    for s, e in enumerate(sizes.get("vq_bl", [])):
-        m[f"vq_bl_{s}"] = AdaptiveFreqTable(e)
+        m["scl_bl"] = _prior_table(sizes["scl_bl"],
+                                   priors.get("scl_bl"))
+
+    def vq_models(key, entries):
+        for s, e in enumerate(entries):
+            if s == 0:
+                m[f"{key}_0"] = _prior_table(e, priors.get(f"{key}_0"))
+            else:
+                ctx_prior = priors.get(f"{key}_{s}")
+                m[f"{key}_{s}"] = [
+                    _prior_table(
+                        e, None if ctx_prior is None else ctx_prior[c])
+                    for c in range(_VQ_CTX)]
+
+    vq_models("vq", sizes["vq"])
+    vq_models("vq_bl", sizes.get("vq_bl", []))
     if static_models:
         m.update(static_models)
     return m
@@ -184,115 +239,209 @@ def _code_adaptive(coder, table, sym: int, decode: bool) -> int:
     return int(sym)
 
 
+class _Transcoder:
+    """One walker drives BOTH pack and unpack so the two sides cannot
+    drift: in encode mode symbols come from the caller's arrays; in
+    decode mode they come from the range decoder and are written back
+    into the same array layout."""
+
+    def __init__(self, sizes: Dict, static_models: Dict = None,
+                 priors: Dict = None, decode: bool = False,
+                 data: bytes = None, length: int = 0):
+        self.sizes = sizes
+        self.models = _utterance_models(sizes, static_models, priors)
+        self.decode = decode
+        self.coder = RangeDecoder(data) if decode else RangeEncoder()
+        self.length = length
+        n_vq = len(sizes["vq"])
+        n_vq_bl = len(sizes.get("vq_bl", []))
+        if decode:
+            self.ind1 = np.zeros(length, bool)
+            self.ind2 = np.zeros(length, bool)
+            self.iscl = np.full(length, -1, np.int32)
+            self.iscl_bl = np.full(length, -1, np.int32)
+            self.ivq = np.full((length, max(n_vq, 1)), -1, np.int32)
+            self.ivq_bl = np.full((length, max(n_vq_bl, 1)), -1,
+                                  np.int32)
+            self.pcodes = np.zeros((length, 2), np.int64)
+
+    def _sym(self, table, value) -> int:
+        return _code_adaptive(self.coder, table, value, self.decode)
+
+    def run(self):
+        models, sizes = self.models, self.sizes
+        n_vq = len(sizes["vq"])
+        n_vq_bl = len(sizes.get("vq_bl", []))
+        prev_p, prev_c, prev_i1, prev_i2 = 0, 0, 0, 0
+        run_i1 = run_i2 = 0
+        for t in range(self.length):
+            i1 = self._sym(models["ind1"][prev_i1][_run_bucket(run_i1)],
+                           None if self.decode else self.ind1[t])
+            i2 = self._sym(models["ind2"][prev_i2][_run_bucket(run_i2)],
+                           None if self.decode else self.ind2[t])
+            run_i1 = run_i1 + 1 if (t > 0 and i1 == prev_i1) else 1
+            run_i2 = run_i2 + 1 if (t > 0 and i2 == prev_i2) else 1
+            if self.decode:
+                self.ind1[t], self.ind2[t] = bool(i1), bool(i2)
+            prev_i1, prev_i2 = i1, i2
+
+            # pitch period: delta with escape
+            if t == 0:
+                if self.decode:
+                    p = self.coder.decode(models["pitch_abs"])
+                else:
+                    p = int(self.pcodes[t, 0])
+                    self.coder.encode(models["pitch_abs"], p)
+            elif self.decode:
+                sym = self._sym(models["pitch_delta"], None)
+                if sym == _PITCH_ESCAPE:
+                    p = self.coder.decode(models["pitch_abs"])
+                else:
+                    p = prev_p + sym - _PITCH_DELTA_RANGE
+            else:
+                p = int(self.pcodes[t, 0])
+                d = p - prev_p
+                if -_PITCH_DELTA_RANGE <= d < _PITCH_DELTA_RANGE:
+                    self._sym(models["pitch_delta"],
+                              d + _PITCH_DELTA_RANGE)
+                else:
+                    self._sym(models["pitch_delta"], _PITCH_ESCAPE)
+                    self.coder.encode(models["pitch_abs"], p)
+            if self.decode:
+                self.pcodes[t, 0] = p
+            prev_p = p
+
+            c = self._sym(models["corr"][prev_c],
+                          None if self.decode else int(self.pcodes[t, 1]))
+            if self.decode:
+                self.pcodes[t, 1] = c
+            prev_c = c
+
+            if i1:
+                v = self._sym(models["scl"],
+                              None if self.decode else int(self.iscl[t]))
+                if self.decode:
+                    self.iscl[t] = v
+            elif "scl_bl" in models:
+                v = self._sym(
+                    models["scl_bl"],
+                    None if self.decode else int(self.iscl_bl[t]))
+                if self.decode:
+                    self.iscl_bl[t] = v
+
+            def vq_stream(key, n_stages, arr, entries):
+                prev_idx = 0
+                for s in range(n_stages):
+                    model = models[f"{key}_{s}"]
+                    if s > 0:
+                        model = model[_vq_ctx(prev_idx, entries[s - 1])]
+                    v = self._sym(model,
+                                  None if self.decode else int(arr[t, s]))
+                    if self.decode:
+                        arr[t, s] = v
+                    prev_idx = v
+
+            if i2:
+                vq_stream("vq", n_vq, self.ivq, sizes["vq"])
+            else:
+                vq_stream("vq_bl", n_vq_bl, self.ivq_bl,
+                          sizes.get("vq_bl", []))
+        return self
+
+
 def pack_utterance_rc(ind1, ind2, indices: Dict, pcodes,
-                      sizes: Dict, static_models: Dict = None) -> bytes:
+                      sizes: Dict, static_models: Dict = None,
+                      priors: Dict = None) -> bytes:
     """Entropy-coded counterpart of bitstream.pack_utterance.
 
     pcodes: (L, 2) int codes from bitstream.quantize_pitch (RAW-scale
     pitch).  Returns a self-contained payload: 2-byte length header +
     range-coded body; the decoder rebuilds the identical adaptive
-    models, so nothing else is transmitted."""
-    models = _utterance_models(sizes, static_models)
-    enc = RangeEncoder()
-    ind1 = np.asarray(ind1).astype(int)
-    ind2 = np.asarray(ind2).astype(int)
-    iscl = np.asarray(indices["scl"])
-    iscl_bl = np.asarray(indices["scl_bl"])
-    ivq = np.atleast_2d(np.asarray(indices["vq"]))
-    ivq_bl = np.atleast_2d(np.asarray(indices["vq_bl"]))
-    pcodes = np.asarray(pcodes)
-    length = len(ind1)
-    prev_p, prev_c, prev_i1, prev_i2 = 0, 0, 0, 0
-    for t in range(length):
-        _code_adaptive(enc, models["ind1"][prev_i1], ind1[t], False)
-        _code_adaptive(enc, models["ind2"][prev_i2], ind2[t], False)
-        prev_i1, prev_i2 = int(ind1[t]), int(ind2[t])
-        p = int(pcodes[t, 0])
-        if t == 0:
-            enc.encode(models["pitch_abs"], p)
-        else:
-            d = p - prev_p
-            if -_PITCH_DELTA_RANGE <= d < _PITCH_DELTA_RANGE:
-                _code_adaptive(enc, models["pitch_delta"],
-                               d + _PITCH_DELTA_RANGE, False)
-            else:
-                _code_adaptive(enc, models["pitch_delta"],
-                               _PITCH_ESCAPE, False)
-                enc.encode(models["pitch_abs"], p)
-        prev_p = p
-        c = int(pcodes[t, 1])
-        _code_adaptive(enc, models["corr"][prev_c], c, False)
-        prev_c = c
-        if ind1[t]:
-            _code_adaptive(enc, models["scl"], int(iscl[t]), False)
-        elif "scl_bl" in models:
-            _code_adaptive(enc, models["scl_bl"], int(iscl_bl[t]), False)
-        if ind2[t]:
-            for s in range(len(sizes["vq"])):
-                _code_adaptive(enc, models[f"vq_{s}"], int(ivq[t, s]),
-                               False)
-        else:
-            for s in range(len(sizes.get("vq_bl", []))):
-                _code_adaptive(enc, models[f"vq_bl_{s}"],
-                               int(ivq_bl[t, s]), False)
-    body = enc.finish()
-    return int(length).to_bytes(2, "big") + body
+    models, so nothing else is transmitted.  `priors` (optional) must
+    be the same dict on both sides — see collect_priors."""
+    tc = _Transcoder(sizes, static_models, priors, decode=False,
+                     length=len(np.asarray(ind1)))
+    tc.ind1 = np.asarray(ind1).astype(int)
+    tc.ind2 = np.asarray(ind2).astype(int)
+    tc.iscl = np.asarray(indices["scl"])
+    tc.iscl_bl = np.asarray(indices["scl_bl"])
+    tc.ivq = np.atleast_2d(np.asarray(indices["vq"]))
+    tc.ivq_bl = np.atleast_2d(np.asarray(indices["vq_bl"]))
+    tc.pcodes = np.asarray(pcodes)
+    tc.run()
+    body = tc.coder.finish()
+    return int(tc.length).to_bytes(2, "big") + body
 
 
 def unpack_utterance_rc(data: bytes, sizes: Dict,
-                        static_models: Dict = None) -> Dict:
+                        static_models: Dict = None,
+                        priors: Dict = None) -> Dict:
     """Inverse of pack_utterance_rc; returns the bitstream.
     unpack_utterance dict layout (ind1, ind2, indices, pitch)."""
     from fpsc_tpu.codec.bitstream import dequantize_pitch
 
     length = int.from_bytes(data[:2], "big")
-    models = _utterance_models(sizes, static_models)
-    dec = RangeDecoder(data[2:])
-    n_vq = len(sizes["vq"])
-    n_vq_bl = len(sizes.get("vq_bl", []))
-    ind1 = np.zeros(length, bool)
-    ind2 = np.zeros(length, bool)
-    iscl = np.full(length, -1, np.int32)
-    iscl_bl = np.full(length, -1, np.int32)
-    ivq = np.full((length, max(n_vq, 1)), -1, np.int32)
-    ivq_bl = np.full((length, max(n_vq_bl, 1)), -1, np.int32)
-    pcodes = np.zeros((length, 2), np.int64)
-    prev_p, prev_c, prev_i1, prev_i2 = 0, 0, 0, 0
-    for t in range(length):
-        ind1[t] = bool(_code_adaptive(dec, models["ind1"][prev_i1],
-                                      0, True))
-        ind2[t] = bool(_code_adaptive(dec, models["ind2"][prev_i2],
-                                      0, True))
-        prev_i1, prev_i2 = int(ind1[t]), int(ind2[t])
-        if t == 0:
-            p = dec.decode(models["pitch_abs"])
-        else:
-            sym = _code_adaptive(dec, models["pitch_delta"], 0, True)
-            if sym == _PITCH_ESCAPE:
-                p = dec.decode(models["pitch_abs"])
-            else:
-                p = prev_p + sym - _PITCH_DELTA_RANGE
-        pcodes[t, 0] = p
-        prev_p = p
-        pcodes[t, 1] = _code_adaptive(dec, models["corr"][prev_c],
-                                      0, True)
-        prev_c = int(pcodes[t, 1])
-        if ind1[t]:
-            iscl[t] = _code_adaptive(dec, models["scl"], 0, True)
-        elif "scl_bl" in models:
-            iscl_bl[t] = _code_adaptive(dec, models["scl_bl"], 0, True)
-        if ind2[t]:
-            for s in range(n_vq):
-                ivq[t, s] = _code_adaptive(dec, models[f"vq_{s}"], 0,
-                                           True)
-        else:
-            for s in range(n_vq_bl):
-                ivq_bl[t, s] = _code_adaptive(dec, models[f"vq_bl_{s}"],
-                                              0, True)
-    return {"ind1": ind1, "ind2": ind2,
-            "indices": {"scl": iscl, "scl_bl": iscl_bl,
-                        "vq": ivq, "vq_bl": ivq_bl},
-            "pitch": dequantize_pitch(pcodes)}
+    tc = _Transcoder(sizes, static_models, priors, decode=True,
+                     data=data[2:], length=length).run()
+    return {"ind1": tc.ind1, "ind2": tc.ind2,
+            "indices": {"scl": tc.iscl, "scl_bl": tc.iscl_bl,
+                        "vq": tc.ivq, "vq_bl": tc.ivq_bl},
+            "pitch": dequantize_pitch(tc.pcodes)}
+
+
+def collect_priors(streams, sizes: Dict) -> Dict:
+    """Accumulate training-set usage counts into the priors layout
+    pack/unpack_utterance_rc expect.
+
+    streams: iterable of (ind1, ind2, indices) triples (one per
+    utterance; the layouts encode() / the bitstream unpackers emit).
+    Returns {scl: (n,), scl_bl: (n,), vq_0: (n0,),
+    vq_s: (_VQ_CTX, ns) for s >= 1, ...} count arrays (float64).
+    Ship them with the codebook artifacts; both codec sides must use
+    the identical dict."""
+    pri: Dict = {}
+    pri["scl"] = np.zeros(sizes["scl"], np.float64)
+    if sizes.get("scl_bl"):
+        pri["scl_bl"] = np.zeros(sizes["scl_bl"], np.float64)
+    for s, e in enumerate(sizes["vq"]):
+        pri[f"vq_{s}"] = np.zeros(
+            e if s == 0 else (_VQ_CTX, e), np.float64)
+    for s, e in enumerate(sizes.get("vq_bl", [])):
+        pri[f"vq_bl_{s}"] = np.zeros(
+            e if s == 0 else (_VQ_CTX, e), np.float64)
+
+    def add_vq(key, arr, mask, entries):
+        arr = np.atleast_2d(np.asarray(arr))
+        for t in np.nonzero(mask)[0]:
+            prev = 0
+            for s in range(len(entries)):
+                v = int(arr[t, s])
+                if v < 0:
+                    break
+                if s == 0:
+                    pri[f"{key}_0"][v] += 1
+                else:
+                    pri[f"{key}_{s}"][
+                        _vq_ctx(prev, entries[s - 1]), v] += 1
+                prev = v
+
+    for ind1, ind2, indices in streams:
+        ind1 = np.asarray(ind1).astype(bool)
+        ind2 = np.asarray(ind2).astype(bool)
+        iscl = np.asarray(indices["scl"])
+        for t in np.nonzero(ind1)[0]:
+            if iscl[t] >= 0:
+                pri["scl"][int(iscl[t])] += 1
+        if "scl_bl" in pri:
+            iscl_bl = np.asarray(indices["scl_bl"])
+            for t in np.nonzero(~ind1)[0]:
+                if iscl_bl[t] >= 0:
+                    pri["scl_bl"][int(iscl_bl[t])] += 1
+        add_vq("vq", indices["vq"], ind2, sizes["vq"])
+        if sizes.get("vq_bl"):
+            add_vq("vq_bl", indices["vq_bl"], ~ind2,
+                   sizes.get("vq_bl", []))
+    return pri
 
 
 def build_models(counts: Dict) -> Dict:

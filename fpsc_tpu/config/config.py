@@ -60,6 +60,11 @@ class CodecConfig:
     # Range-coded transmit chain (adaptive models incl. pitch deltas);
     # false selects the fixed-layout bitstream.
     entropy_coding: bool = True
+    # Learned-mask encode path (reference's deployed encoder:
+    # synthesis_qtz.py:93 runs mask_enc with model_f.scale = 1000);
+    # false selects the l1/l2 threshold path.
+    use_mask: bool = False
+    mask_scale: float = 1000.0
 
 
 @dataclass
@@ -91,6 +96,11 @@ class LPCNetConfig:
     # samples emitted per recurrent step: 1 = plain LPCNet, 2 = bunched
     # (models/lpcnet_bunched.py - halves the sequential GRU steps)
     bunch: int = 1
+    # mu-law noise injection on the teacher-forced signal path
+    # (lpcnet.noisy_streams; 0 = off).  The classic LPCNet
+    # exposure-bias mitigation - targets steer back to the clean
+    # signal from a noisy history.
+    noise_levels: int = 0
     # GRU_A recurrent block sparsification (1.0 = dense); the cubic
     # ramp runs between the two step counts (LPCNet training practice)
     gru_a_density: float = 1.0
@@ -117,6 +127,11 @@ class IAFConfig:
 class TrainConfig:
     epochs: int = 10
     steps_per_epoch: int = 0        # 0 = full pass over the dataset
+    # wall-clock training budget in seconds (0 = no limit); the epoch
+    # loop stops at the first epoch boundary past the budget - used
+    # for equal-WALL-TIME A/Bs (bunched trains ~2x faster per epoch,
+    # so equal-epoch comparisons understate it)
+    max_seconds: float = 0.0
     learning_rate: float = 1e-4
     keep_rate: float = 0.3
     warmup_batches: int = 10        # teacher-forced batches per epoch

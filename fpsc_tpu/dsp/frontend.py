@@ -24,6 +24,8 @@ host-side streaming use; tests/test_frontend.py checks the two agree.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -96,7 +98,10 @@ def estimate_pitch(x: np.ndarray, n_frames: int) -> np.ndarray:
     3. +-1 sample refinement around the winner (the step-2 grid alone
        quantises the period to 2 samples).
 
-    Frames whose best correlation is <= 0 report PITCH_MAX.
+    Frames whose even-grid peak correlation is <= 0 report PITCH_MAX
+    with corr 0 directly — stages 2-3 are skipped for them, so an
+    odd-lag refinement cannot flip an unvoiced frame to voiced with
+    near-zero confidence.
     """
     pad = np.concatenate([np.zeros(PITCH_MAX, np.float32),
                           np.asarray(x, np.float32)])
@@ -116,6 +121,9 @@ def estimate_pitch(x: np.ndarray, n_frames: int) -> np.ndarray:
     rows = np.arange(n_frames)
     best_corr = corr[rows, best]
     best_lag = lags[best]
+    # frames unvoiced at the grid skip stages 2-3 entirely (the C++
+    # mirror early-returns for them)
+    grid_voiced = best_corr > 0.0
 
     # stage 2: sub-lag (octave) preference - both candidates are
     # judged against the ORIGINAL peak, smallest passing lag wins
@@ -125,7 +133,8 @@ def estimate_pitch(x: np.ndarray, n_frames: int) -> np.ndarray:
         cand = np.clip(2 * np.floor(best_lag / (2.0 * div) + 0.5),
                        PITCH_MIN, PITCH_MAX).astype(np.int64)
         c = corr[rows, (cand - PITCH_MIN) // 2]
-        ok = (c > OCTAVE_THRESHOLD * best_corr) & (cand < best_lag)
+        ok = ((c > OCTAVE_THRESHOLD * best_corr) & (cand < best_lag)
+              & grid_voiced)
         return cand, c, ok
 
     cand2, c2, ok2 = grid_corr(2)
@@ -143,14 +152,174 @@ def estimate_pitch(x: np.ndarray, n_frames: int) -> np.ndarray:
     for delta in (-1, 1):
         cand = np.clip(best_lag + delta, PITCH_MIN, PITCH_MAX)
         c = corr_at(cand)
-        take = c > best_corr
+        take = (c > best_corr) & grid_voiced
         best_lag = np.where(take, cand, best_lag)
         best_corr = np.where(take, c, best_corr)
 
-    best_lag = np.where(best_corr > 0.0, best_lag, PITCH_MAX)
-    best_corr = np.maximum(best_corr, 0.0)
+    best_lag = np.where(grid_voiced, best_lag, PITCH_MAX)
+    best_corr = np.where(grid_voiced, np.maximum(best_corr, 0.0), 0.0)
     out = np.stack([(best_lag - 100.0) / 50.0, best_corr - 0.5], 1)
     return out.astype(np.float32)
+
+
+def _pitch_from_corr_table(corr_table: jax.Array) -> jax.Array:
+    """Stages 1-3 of the pitch search as gathers/wheres on the
+    (T, PITCH_MAX - WINDOW? no: (T, 257)) integer-lag correlation
+    table, where column j0 holds the normalised correlation at lag
+    (PITCH_MAX - j0).  Mirrors estimate_pitch decision-for-decision.
+    """
+    n_frames = corr_table.shape[0]
+    rows = jnp.arange(n_frames)
+
+    def at_lag(lag):
+        return corr_table[rows, PITCH_MAX - lag]
+
+    lags = jnp.arange(PITCH_MIN, PITCH_MAX + 1, 2)
+    grid = corr_table[:, PITCH_MAX - lags]            # (T, L) lag order
+    best = jnp.argmax(grid, axis=1)                   # first max: small lag
+    best_corr = grid[rows, best]
+    best_lag = lags[best]
+    grid_voiced = best_corr > 0.0
+
+    def octave(div):
+        cand = jnp.clip(
+            2 * jnp.floor(best_lag / (2.0 * div) + 0.5),
+            PITCH_MIN, PITCH_MAX).astype(jnp.int32)
+        c = at_lag(cand)
+        ok = ((c > OCTAVE_THRESHOLD * best_corr) & (cand < best_lag)
+              & grid_voiced)
+        return cand, c, ok
+
+    cand2, c2, ok2 = octave(2)
+    cand3, c3, ok3 = octave(3)
+    best_lag = jnp.where(ok3, cand3, jnp.where(ok2, cand2, best_lag))
+    best_corr = jnp.where(ok3, c3, jnp.where(ok2, c2, best_corr))
+
+    for delta in (-1, 1):
+        cand = jnp.clip(best_lag + delta, PITCH_MIN, PITCH_MAX)
+        c = at_lag(cand)
+        take = (c > best_corr) & grid_voiced
+        best_lag = jnp.where(take, cand, best_lag)
+        best_corr = jnp.where(take, c, best_corr)
+
+    best_lag = jnp.where(grid_voiced, best_lag, PITCH_MAX)
+    best_corr = jnp.where(grid_voiced, jnp.maximum(best_corr, 0.0), 0.0)
+    return jnp.stack([(best_lag - 100.0) / 50.0, best_corr - 0.5], 1)
+
+
+# Frames per correlation slab: the (SLAB, 257, 320) unfolded-window
+# batched matmul is the compiled unit (bounds live memory to ~85 MB
+# and keeps the XLA program small); utterances are processed as
+# lax.map over slabs.
+PITCH_SLAB = 256
+
+
+def _slab_corr_table(ctx: jax.Array) -> jax.Array:
+    """(S, 576) contexts -> (S, 257) normalised correlations, column
+    j0 = lag (PITCH_MAX - j0).  The last 320 context samples ARE the
+    analysis segment; num is a batched matvec over unfolded windows
+    (MXU), window energies a prefix-sum difference."""
+    n = ctx.shape[0]
+    seg = ctx[:, PITCH_MAX:]                          # (S, 320)
+    idx = jnp.arange(PITCH_MAX + 1)[:, None] + jnp.arange(
+        C.WINDOW_SIZE)[None, :]
+    refs = ctx[:, idx]                                # (S, 257, 320)
+    num = jax.lax.dot_general(
+        refs, seg, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)          # (S, 257)
+    cs = jnp.cumsum(jnp.concatenate(
+        [jnp.zeros((n, 1)), ctx.astype(jnp.float32) ** 2], 1), axis=1)
+    er = cs[:, C.WINDOW_SIZE:] - cs[:, :-C.WINDOW_SIZE] + 1e-9
+    e0 = er[:, PITCH_MAX]                             # lag 0 == segment
+    return num / jnp.sqrt(e0[:, None] * er)
+
+
+def estimate_pitch_jnp(x: jax.Array, n_frames: int) -> jax.Array:
+    """On-device (jittable) open-loop pitch search.
+
+    Same 3-stage search as estimate_pitch (the NumPy oracle) but the
+    whole (T, lags) correlation grid comes from tensor programs XLA
+    maps to the MXU/VPU:
+
+    * every candidate reference window of frame t lives inside a
+      576-sample context ctx[t] = pad[160 t : 160 t + 576] (the last
+      320 samples ARE the analysis segment), so ALL integer-lag
+      cross-correlations are a batched matvec over unfolded windows,
+      num[t, j0] = sum_w ctx[t, j0 + w] * seg[t, w]   (j0 = 256 - lag),
+      evaluated in PITCH_SLAB-frame slabs under lax.map,
+    * window energies are a prefix-sum difference over ctx^2,
+    * stages 1-3 (grid argmax with smallest-lag ties, octave
+      suppression, +-1 refinement) are gathers/wheres on the table
+      (_pitch_from_corr_table).
+
+    f32 with Precision.HIGHEST (the NumPy oracle runs f64); knife-edge
+    argmax flips where two lags correlate within f32 noise are the
+    only permitted divergence — tests/test_frontend.py bounds them.
+    n_frames must be static under jit (it is shape-derived).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    pad = jnp.concatenate([jnp.zeros(PITCH_MAX, jnp.float32), x])
+    if n_frames == 0:
+        return jnp.zeros((0, 2), jnp.float32)
+    span = PITCH_MAX + C.WINDOW_SIZE                  # 576
+    n_slabs = -(-n_frames // PITCH_SLAB)
+    t_pad = n_slabs * PITCH_SLAB
+    need = C.FRAME_SIZE * (t_pad - 1) + span
+    pad = jnp.pad(pad, (0, max(0, need - pad.shape[0])))
+    idx = (C.FRAME_SIZE * jnp.arange(t_pad)[:, None]
+           + jnp.arange(span)[None, :])
+    ctx = pad[idx].reshape(n_slabs, PITCH_SLAB, span)
+    corr_table = jax.lax.map(_slab_corr_table, ctx).reshape(t_pad, -1)
+    return _pitch_from_corr_table(corr_table[:n_frames])
+
+
+def preemphasis_jnp(x: jax.Array, coef: float = 0.85) -> jax.Array:
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.concatenate([x[:1], x[1:] - jnp.float32(coef) * x[:-1]])
+
+
+def extract_features(x: jax.Array, preemph: float = 0.85) -> jax.Array:
+    """Fully-jitted waveform -> (n_frames, 36) feature rows.
+
+    The on-TPU counterpart of extract_features_np (which remains the
+    NumPy oracle; cpp/feature_extractor.cpp is the bit-parity C++
+    mirror): pre-emphasis, Vorbis-window cepstra, the 3-stage pitch
+    search and ceps2lpc all run as ONE compiled XLA program, so
+    corpus preparation can batch utterances on the chip
+    (SURVEY §2.2: "batched JAX re-implementation ... so the whole
+    frontend can run on-TPU").
+
+    The frame count is padded up to a PITCH_SLAB multiple before the
+    jit call so the compiled program is keyed on the BUCKET, not the
+    exact utterance length (XLA compiles once per bucket; the zero
+    tail frames are computed and dropped).
+    """
+    n_frames = max(0, int(x.shape[0]) // C.FRAME_SIZE - 1)
+    if n_frames == 0:
+        return jnp.zeros((0, 36), jnp.float32)
+    t_pad = -(-n_frames // PITCH_SLAB) * PITCH_SLAB
+    x = jnp.asarray(x, jnp.float32)
+    need = C.FRAME_SIZE * (t_pad + 1)
+    if x.shape[0] < need:
+        x = jnp.pad(x, (0, need - x.shape[0]))
+    else:
+        x = x[:need]
+    return _extract_features_jit(x, t_pad, float(preemph))[:n_frames]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _extract_features_jit(x: jax.Array, n_frames: int,
+                          preemph: float) -> jax.Array:
+    if preemph:
+        x = preemphasis_jnp(x, preemph)
+    idx = (jnp.arange(C.WINDOW_SIZE)[None, :]
+           + C.FRAME_SIZE * jnp.arange(n_frames)[:, None])
+    frames = jnp.pad(x, (0, max(0, C.FRAME_SIZE * (n_frames + 1)
+                                - x.shape[0])))[idx]
+    ceps = frames_to_cepstra(frames)
+    pitch = estimate_pitch_jnp(x, n_frames)
+    _, lpc, _ = ceps2lpc(ceps)
+    return jnp.concatenate([ceps, pitch, lpc], axis=1)
 
 
 def extract_features_np(x: np.ndarray,

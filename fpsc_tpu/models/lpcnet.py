@@ -155,7 +155,33 @@ def teacher_streams(x: jax.Array, lpc: jax.Array):
     return x - pred_t, pred_t
 
 
-def loss_fn(params: LPCNetParams, feat, periods, x, lpc) -> jax.Array:
+def noisy_streams(x: jax.Array, lpc: jax.Array, key: jax.Array,
+                  levels: int = 2):
+    """Exposure-bias noise injection (LPCNet training practice; Valin &
+    Skoglund 2019 §3.4 inject mu-law-domain noise into the signal path
+    so training-time inputs resemble generation's imperfect history).
+
+    Perturbs the SIGNAL stream by up to +-levels mu-law codes, rebuilds
+    the LPC prediction and the input-side excitation from the NOISY
+    signal (exactly what generation derives from its own sample
+    history), and computes the TARGET excitation relative to the noisy
+    prediction but the CLEAN sample — the model learns to steer its
+    trajectory back to the true signal instead of compounding errors.
+
+    Returns (x_noisy, exc_in, pred_t_noisy, exc_target), all (B, T).
+    """
+    from fpsc_tpu.dsp.lpc import lpc_pred
+    from fpsc_tpu.dsp.mulaw import u2l
+    u = l2u_index(x * 32768.0)
+    noise = jax.random.randint(key, u.shape, -levels, levels + 1)
+    x_n = u2l(jnp.clip(u + noise, 0, 255)) / 32768.0
+    pred = lpc_pred(x_n, lpc)
+    pred_t = jnp.roll(pred, 1, axis=-1).at[:, 0].set(0.0)
+    return x_n, x_n - pred_t, pred_t, x - pred_t
+
+
+def loss_fn(params: LPCNetParams, feat, periods, x, lpc,
+            noise_key=None, noise_levels: int = 2) -> jax.Array:
     """Cross-entropy on next-sample mu-law excitation (teacher forced).
 
     lpc_pred's raw output at t is the prediction of x[t+1] (it includes
@@ -166,11 +192,20 @@ def loss_fn(params: LPCNetParams, feat, periods, x, lpc) -> jax.Array:
     stream would leak a1*x[t] into the input whose target is
     exc[t] = x[t] - pred[t-1] (reference keeps the same alignment,
     src/train.py:125-139).
+
+    With noise_key set, the input streams are rebuilt through
+    noisy_streams (mu-law noise injection; targets steer back to the
+    clean signal).
     """
-    exc, pred_t = teacher_streams(x, lpc)
-    logits = forward(params, feat, periods, x, exc, pred_t)
+    if noise_key is not None:
+        x_in, exc_in, pred_t, exc_tgt = noisy_streams(
+            x, lpc, noise_key, noise_levels)
+    else:
+        exc_tgt, pred_t = teacher_streams(x, lpc)
+        x_in, exc_in = x, exc_tgt
+    logits = forward(params, feat, periods, x_in, exc_in, pred_t)
     # target: excitation at t given inputs up to t (16-bit mu-law code)
-    target = l2u_index(exc * 32768.0)
+    target = l2u_index(exc_tgt * 32768.0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)
     return jnp.mean(nll)

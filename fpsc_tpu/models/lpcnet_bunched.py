@@ -127,12 +127,21 @@ def forward(params: BunchedParams, feat: jax.Array, periods: jax.Array,
     return logits1, logits2
 
 
-def loss_fn(params: BunchedParams, feat, periods, x, lpc) -> jax.Array:
+def loss_fn(params: BunchedParams, feat, periods, x, lpc,
+            noise_key=None, noise_levels: int = 2) -> jax.Array:
     """Mean CE over both heads (teacher forced); stream alignment
-    identical to lpcnet.loss_fn."""
-    exc, pred_t = lpcnet.teacher_streams(x, lpc)
-    logits1, logits2 = forward(params, feat, periods, x, exc, pred_t)
-    _, eb, _ = _pair_streams(x, exc, pred_t)
+    identical to lpcnet.loss_fn.  noise_key enables the same mu-law
+    noise injection as lpcnet.noisy_streams (head 2's realised-sample
+    conditioning also flows through the noisy signal)."""
+    if noise_key is not None:
+        x_in, exc_in, pred_t, exc_tgt = lpcnet.noisy_streams(
+            x, lpc, noise_key, noise_levels)
+    else:
+        exc_tgt, pred_t = lpcnet.teacher_streams(x, lpc)
+        x_in, exc_in = x, exc_tgt
+    logits1, logits2 = forward(params, feat, periods, x_in, exc_in,
+                               pred_t)
+    eb = exc_tgt.reshape(exc_tgt.shape[0], -1, 2)
     t1 = l2u_index(eb[:, :, 0] * 32768.0)
     t2 = l2u_index(eb[:, :, 1] * 32768.0)
     nll = 0.0
@@ -352,11 +361,17 @@ def forward4(params: Bunched4Params, feat, periods, x, exc, pred):
     return logits
 
 
-def loss_fn4(params: Bunched4Params, feat, periods, x, lpc) -> jax.Array:
-    exc, pred_t = lpcnet.teacher_streams(x, lpc)
-    logits = forward4(params, feat, periods, x, exc, pred_t)
+def loss_fn4(params: Bunched4Params, feat, periods, x, lpc,
+             noise_key=None, noise_levels: int = 2) -> jax.Array:
+    if noise_key is not None:
+        x_in, exc_in, pred_t, exc_tgt = lpcnet.noisy_streams(
+            x, lpc, noise_key, noise_levels)
+    else:
+        exc_tgt, pred_t = lpcnet.teacher_streams(x, lpc)
+        x_in, exc_in = x, exc_tgt
+    logits = forward4(params, feat, periods, x_in, exc_in, pred_t)
     b, t = x.shape
-    eb = exc.reshape(b, t // 4, 4)
+    eb = exc_tgt.reshape(b, t // 4, 4)
     nll = 0.0
     for s in range(4):
         tgt = l2u_index(eb[:, :, s] * 32768.0)

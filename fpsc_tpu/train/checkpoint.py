@@ -45,6 +45,40 @@ def checkpoint_path(save_dir: str, label: str, epoch) -> str:
     return os.path.join(save_dir, label, f"{label}_{epoch}.ckpt")
 
 
+def restore_params(template: Any, payload: Any, what: str = "model"):
+    """Rebuild a params pytree from a checkpoint payload, validated.
+
+    Replaces the blind tree_unflatten at every entry point: if the
+    checkpoint was saved from a different architecture (e.g. a
+    bunch=1 vocoder restored under cfg.lpcnet.bunch=2) the failure
+    used to be a cryptic leaf-count/unflatten error; here it names
+    the mismatch (leaf counts and the first differing leaf shape).
+    `payload` may be the raw checkpoint dict (uses payload['params'])
+    or a params pytree itself.
+    """
+    import jax.numpy as jnp
+    if isinstance(payload, dict) and "params" in payload:
+        payload = payload["params"]
+    t_leaves, t_def = jax.tree_util.tree_flatten(template)
+    p_leaves = jax.tree_util.tree_leaves(payload)
+    if len(t_leaves) != len(p_leaves):
+        raise ValueError(
+            f"checkpoint does not match the configured {what}: expected "
+            f"{len(t_leaves)} param arrays ({type(template).__name__}), "
+            f"checkpoint holds {len(p_leaves)}. For vocoders this "
+            f"usually means cfg.lpcnet.bunch (1/2/4) disagrees with the "
+            f"architecture the checkpoint was trained with.")
+    for i, (t, p) in enumerate(zip(t_leaves, p_leaves)):
+        if tuple(np.shape(t)) != tuple(np.shape(p)):
+            raise ValueError(
+                f"checkpoint does not match the configured {what}: leaf "
+                f"{i} expects shape {tuple(np.shape(t))} but the "
+                f"checkpoint holds {tuple(np.shape(p))} — model size "
+                f"config (units/dims) disagrees with the checkpoint.")
+    return jax.tree_util.tree_unflatten(
+        t_def, [jnp.asarray(v) for v in p_leaves])
+
+
 def log_epoch(save_dir: str, label: str, epoch: int, duration: float,
               train_loss: float, valid_loss: float,
               debugging: bool = False) -> str:

@@ -31,10 +31,7 @@ def run(cfg: Config, max_batches: int = 50):
         payload = ckpt.load(ckpt.checkpoint_path(
             cfg.train.save_dir, cfg.train.transfer_model,
             cfg.train.transfer_epoch))
-        params = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(params),
-            [jnp.asarray(v) for v in
-             jax.tree_util.tree_leaves(payload["params"])])
+        params = ckpt.restore_params(params, payload, "predictor")
 
     ds = build_dataset(cfg.data, "val")
     fwd = jax.jit(lambda p, f: fp.forward(p, f)[0])

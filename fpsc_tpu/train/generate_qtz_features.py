@@ -48,10 +48,7 @@ def run(cfg: Config, max_utterances: int = 1000,
         payload = ckpt.load(ckpt.checkpoint_path(
             cfg.train.save_dir, cfg.train.transfer_model,
             cfg.train.transfer_epoch))
-        params = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(params),
-            [jnp.asarray(x) for x in
-             jax.tree_util.tree_leaves(payload["params"])])
+        params = ckpt.restore_params(params, payload, "predictor")
     codebooks = ckpt.load_codebooks(cfg.codec.codebook_path)
     sizes = codebook_sizes(codebooks)
 
@@ -61,6 +58,7 @@ def run(cfg: Config, max_utterances: int = 1000,
 
     ds = build_dataset(cfg.data, "train")
     totals = None
+    streams = []
     mse_sum, mse_n = 0.0, 0
     bits_total, bits_rc_total, frames_total = 0, 0, 0
     done = 0
@@ -75,6 +73,8 @@ def run(cfg: Config, max_utterances: int = 1000,
                                  seed=0, head=True):
         feat = jnp.asarray(predictor_inputs(batch, cfg.data.normalize))
         enc = encode(params, codebooks, feat,
+                     use_mask=cfg.codec.use_mask,
+                     scale=cfg.codec.mask_scale,
                      l1=cfg.codec.l1, l2=cfg.codec.l2)
         windows = coded_feature_windows(enc["coded"])
         coded = np.asarray(enc["coded"])
@@ -102,6 +102,8 @@ def run(cfg: Config, max_utterances: int = 1000,
             bits_total += len(packed) * 8
             bits_rc_total += len(packed_rc) * 8
             frames_total += orig.shape[1]
+            streams.append((ind1_i, ind2_i, idx_i,
+                            bs.quantize_pitch(pitch_raw)))
             done += 1
         if cfg.train.debugging or done >= max_utterances:
             break
@@ -109,13 +111,26 @@ def run(cfg: Config, max_utterances: int = 1000,
     entropies = [round(usage_entropy_bits(c), 3) for c in totals]
     bitrate = bits_total / frames_total * 100.0
     bitrate_rc = bits_rc_total / frames_total * 100.0
+    # shared priors: training-set usage counts seeding the adaptive
+    # entropy models (ride with the codebook artifacts; both codec
+    # sides must hold the identical dict).  The re-packed rate below
+    # is in-sample - the honest number is the held-out rate measured
+    # by synthesis_qtz.run(priors=...).
+    priors = rc.collect_priors(
+        [(i1, i2, ix) for i1, i2, ix, _ in streams], sizes)
+    bits_pri = sum(
+        len(rc.pack_utterance_rc(i1, i2, ix, pc, sizes, priors=priors))
+        * 8 for i1, i2, ix, pc in streams)
+    bitrate_pri = bits_pri / frames_total * 100.0
     print(f"coded {done} utterances -> {out_dir}")
     print(f"codebook usage entropies (bits): {entropies}")
     print(f"coded-feature MSE (normalised): {mse_sum / mse_n:.6f}")
     print(f"measured bitrate: {bitrate:.1f} b/s fixed-layout, "
-          f"{bitrate_rc:.1f} b/s entropy-coded")
+          f"{bitrate_rc:.1f} b/s entropy-coded, "
+          f"{bitrate_pri:.1f} b/s with shared priors (in-sample)")
     return {"entropies": entropies, "bitrate": bitrate,
-            "bitrate_rc": bitrate_rc,
+            "bitrate_rc": bitrate_rc, "bitrate_priors": bitrate_pri,
+            "priors": priors,
             "mse": mse_sum / mse_n, "out_dir": out_dir}
 
 

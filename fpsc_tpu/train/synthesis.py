@@ -46,10 +46,7 @@ def run(cfg: Config, num_samples: int = 2, out_dir=None):
         payload = ckpt.load(ckpt.checkpoint_path(
             cfg.train.save_dir, cfg.train.transfer_model,
             cfg.train.transfer_epoch))
-        params = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(params),
-            [jnp.asarray(v) for v in
-             jax.tree_util.tree_leaves(payload["params"])])
+        params = ckpt.restore_params(params, payload, "WaveNet")
 
     ds = build_dataset(cfg.data, "val")
     out_dir = out_dir or os.path.join(cfg.train.save_dir,

@@ -36,16 +36,17 @@ from fpsc_tpu.train.train_frame import build_model as build_frame
 
 def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
         vocoder_params: Optional[lpcnet.LPCNetParams] = None,
-        use_pallas: bool = True):
+        use_pallas: bool = True, priors: Optional[dict] = None):
+    """priors: optional shared entropy-model priors
+    (range_coder.collect_priors output); must be the identical dict on
+    the decode side - here both directions use it symmetrically."""
     frame_params = build_frame(cfg, jax.random.PRNGKey(cfg.train.seed))
     if cfg.train.transfer_model:
         payload = ckpt.load(ckpt.checkpoint_path(
             cfg.train.save_dir, cfg.train.transfer_model,
             cfg.train.transfer_epoch))
-        frame_params = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(frame_params),
-            [jnp.asarray(v) for v in
-             jax.tree_util.tree_leaves(payload["params"])])
+        frame_params = ckpt.restore_params(
+            frame_params, payload, "predictor")
     codebooks = ckpt.load_codebooks(cfg.codec.codebook_path)
     sizes = codebook_sizes(codebooks)
 
@@ -69,10 +70,9 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
             payload = ckpt.load(ckpt.checkpoint_path(
                 cfg.train.save_dir, cfg.train.vocoder_model,
                 cfg.train.vocoder_epoch))
-            vocoder_params = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(vocoder_params),
-                [jnp.asarray(v) for v in
-                 jax.tree_util.tree_leaves(payload["params"])])
+            vocoder_params = ckpt.restore_params(
+                vocoder_params, payload,
+                f"vocoder (bunch={cfg.lpcnet.bunch})")
 
     ds = build_dataset(cfg.data, "val")
     out_dir = out_dir or os.path.join(cfg.train.save_dir,
@@ -87,7 +87,9 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
 
         # --- transmit chain: encode -> pack -> unpack -> decode ---
         enc = encode(frame_params, codebooks, feat,
-                     l1=cfg.codec.l1, l2=cfg.codec.l2)
+                     l1=cfg.codec.l1, l2=cfg.codec.l2,
+                     use_mask=cfg.codec.use_mask,
+                     scale=cfg.codec.mask_scale)
         # quantize_pitch's 8-bit period / 3-bit corr codes are defined
         # on the RAW feature scale (period = 0.1 + 50*p + 100,
         # reference src/train.py:123); feat here is MAXI-normalised,
@@ -103,8 +105,9 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
             from fpsc_tpu.codec import range_coder as rcmod
             packed = rcmod.pack_utterance_rc(
                 ind1_np, ind2_np, idx_np, bs.quantize_pitch(pitch_raw),
-                sizes)
-            got = rcmod.unpack_utterance_rc(packed, sizes)
+                sizes, priors=priors)
+            got = rcmod.unpack_utterance_rc(packed, sizes,
+                                            priors=priors)
         else:
             packed = bs.pack_utterance(ind1_np, ind2_np, idx_np,
                                        pitch_raw, sizes)

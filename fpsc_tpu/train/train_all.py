@@ -48,10 +48,8 @@ def run(cfg: Config):
         payload = ckpt.load(ckpt.checkpoint_path(
             cfg.train.save_dir, cfg.train.transfer_model,
             cfg.train.transfer_epoch))
-        frame_params = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(frame_params),
-            [jnp.asarray(v) for v in
-             jax.tree_util.tree_leaves(payload["params"])])
+        frame_params = ckpt.restore_params(
+            frame_params, payload, "predictor")
 
     mcfg = model_config(cfg)
     sample_params = wn.init_wavenet(

@@ -85,10 +85,7 @@ def run(cfg: Config) -> fp.Codebooks:
                                     cfg.train.transfer_model,
                                     cfg.train.transfer_epoch)
         payload = ckpt.load(path)
-        params = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(params),
-            [jnp.asarray(x) for x in
-             jax.tree_util.tree_leaves(payload["params"])])
+        params = ckpt.restore_params(params, payload, "predictor")
         print(f"Loaded predictor: {path}")
 
     ds = build_dataset(cfg.data, "train")
@@ -104,7 +101,13 @@ def run(cfg: Config) -> fp.Codebooks:
             ds.iter_batches(cfg.data.batch_size, seed=cfg.train.seed)):
         feat = jnp.asarray(predictor_inputs(batch, cfg.data.normalize))
         t0 = time.time()
-        r, r_bl = synthesize_residuals(params, feat, l1, l2)
+        # mask-path codebooks train on the LEARNED-mask residual split
+        # (reference train_cb.py:170 runs mask_enc); the soft sigmoid
+        # masks at the trained scale keep the split differentiable-
+        # consistent with what mask_enc(qtz=True) hardens at encode
+        r, r_bl = synthesize_residuals(
+            params, feat, l1, l2, use_mask=cfg.codec.use_mask,
+            scale=cfg.codec.mask_scale)
         scl_vals.append(_scl_stream(r))
         scl_bl_vals.append(_scl_stream(r_bl))
         v = _vq_stream(r, code_dims)

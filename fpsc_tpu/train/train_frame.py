@@ -95,11 +95,7 @@ def run(cfg: Config) -> Tuple[fp.FramePredictorParams, float]:
                                     cfg.train.transfer_model,
                                     cfg.train.transfer_epoch)
         payload = ckpt.load(path)
-        params = jax.tree_util.tree_map(
-            jnp.asarray,
-            jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(params),
-                jax.tree_util.tree_leaves(payload["params"])))
+        params = ckpt.restore_params(params, payload, "predictor")
         print(f"Loaded transfer checkpoint: {path}")
 
     params = meshlib.replicate(mesh, params)

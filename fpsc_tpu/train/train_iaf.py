@@ -78,10 +78,8 @@ def run(cfg: Config):
         payload = ckpt.load(ckpt.checkpoint_path(
             cfg.train.save_dir, cfg.train.transfer_model,
             cfg.train.transfer_epoch))
-        teacher = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(teacher),
-            [jnp.asarray(v) for v in
-             jax.tree_util.tree_leaves(payload["params"])])
+        teacher = ckpt.restore_params(
+            teacher, payload, "teacher WaveNet")
         print("loaded teacher WaveNet")
 
     params = iaf.init_iaf(jax.random.PRNGKey(cfg.train.seed), icfg)

@@ -73,13 +73,21 @@ def coded_dataset(coded_dir: str, base: Dataset) -> Dataset:
                    process_count=base.process_count)
 
 
-def make_step(tx, loss_fn=None):
+def make_step(tx, loss_fn=None, noise_levels: int = 0):
+    """noise_levels > 0 enables mu-law noise injection on the
+    teacher-forced signal path (lpcnet.noisy_streams — the classic
+    LPCNet exposure-bias mitigation); eval always runs clean."""
     loss_fn = loss_fn or lpcnet.loss_fn
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, feat, periods, x, lpc):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, feat, periods, x, lpc)
+    def train_step(params, opt_state, feat, periods, x, lpc, key):
+        if noise_levels > 0:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, feat, periods, x, lpc,
+                noise_key=key, noise_levels=noise_levels)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, feat, periods, x, lpc)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -165,10 +173,8 @@ def run(cfg: Config, data_dir: Optional[str] = None,
         payload = ckpt.load(ckpt.checkpoint_path(
             cfg.train.save_dir, cfg.train.transfer_model,
             cfg.train.transfer_epoch))
-        params = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(params),
-            [jnp.asarray(v) for v in
-             jax.tree_util.tree_leaves(payload["params"])])
+        params = ckpt.restore_params(
+            params, payload, f"vocoder (bunch={cfg.lpcnet.bunch})")
         print("loaded transfer vocoder checkpoint")
 
     tx = build_optimizer(cfg, params)
@@ -182,11 +188,14 @@ def run(cfg: Config, data_dir: Optional[str] = None,
               f"({len(train_ds)} utterances)")
     loss_fns = {1: lpcnet.loss_fn, 2: lpcnet_bunched.loss_fn,
                 4: lpcnet_bunched.loss_fn4}
-    train_step, eval_step = make_step(tx, loss_fns[bunch])
+    train_step, eval_step = make_step(tx, loss_fns[bunch],
+                                      cfg.lpcnet.noise_levels)
+    noise_base = jax.random.PRNGKey(cfg.train.seed + 77)
 
     label = cfg.label + "_s"
     min_loss = float("inf")
     global_step = 0
+    train_t0 = time.time()
     sparsify = jax.jit(
         {1: lpcnet.sparsify_gru_a, 2: lpcnet_bunched.sparsify_gru_a,
          4: lpcnet_bunched.sparsify_gru_a4}[bunch],
@@ -200,7 +209,8 @@ def run(cfg: Config, data_dir: Optional[str] = None,
             arrs = meshlib.shard_batch(mesh, arrs)
             params, opt_state, loss = train_step(
                 params, opt_state, arrs["feat"], arrs["periods"],
-                arrs["x"], arrs["lpc"])
+                arrs["x"], arrs["lpc"],
+                jax.random.fold_in(noise_base, global_step))
             global_step += 1
             if cfg.lpcnet.gru_a_density < 1.0:
                 d = lpcnet.sparsity_schedule(
@@ -226,6 +236,12 @@ def run(cfg: Config, data_dir: Optional[str] = None,
                                            epoch),
                       params, opt_state, step=epoch)
         min_loss = min(min_loss, total / max(n, 1))
+        if (cfg.train.max_seconds
+                and time.time() - train_t0 > cfg.train.max_seconds):
+            print(f"wall-time budget {cfg.train.max_seconds:.0f}s "
+                  f"reached after epoch {epoch} "
+                  f"({global_step} updates)", flush=True)
+            break
     return params, min_loss
 
 

@@ -90,10 +90,7 @@ def run(cfg: Config, data_dir: Optional[str] = None
         payload = ckpt.load(ckpt.checkpoint_path(
             cfg.train.save_dir, cfg.train.transfer_model,
             cfg.train.transfer_epoch))
-        params = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(params),
-            [jnp.asarray(v) for v in
-             jax.tree_util.tree_leaves(payload["params"])])
+        params = ckpt.restore_params(params, payload, "vocoder")
         print("loaded transfer vocoder checkpoint")
     tx = build_optimizer(cfg, params)
     opt_state = tx.init(params)

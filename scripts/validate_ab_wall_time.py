@@ -1,0 +1,106 @@
+"""Equal-WALL-TIME bunched-vs-unbunched A/B at scale (round-2 verdict
+item 1).
+
+The 192-utterance equal-UPDATE-COUNT comparison showed a 0.16 Bark-LSD
+gap (unbunched 0.650 vs bunched 0.809) — but bunched training runs
+~2x faster per epoch, so the deployment-relevant comparison is equal
+WALL TIME.  This script trains four arms on the same 192-utterance
+speech-realistic corpus under one wall-clock budget each:
+
+    bunch1        — unbunched baseline
+    bunch2        — bunched, GRU_B 32 (the deployed config)
+    bunch1+noise  — unbunched with mu-law noise injection
+    bunch2+noise  — bunched with noise injection (the exposure-bias
+                    attack: lpcnet.noisy_streams)
+
+and reports free-running Bark-LSD / STFT-LSD on 4 held-out utterances
+through the fused Pallas sampler.  Decision rule (VERDICT.md): bunched
+within <= 0.05 Bark-LSD of unbunched at equal wall time keeps the
+bunched default; otherwise the default reverts to sparse-unbunched.
+
+    python scripts/validate_ab_wall_time.py [budget_seconds] [utts]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def train_arm(name, budget_s, utts, extra):
+    import jax
+    import jax.numpy as jnp
+
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.data.dataset import build_dataset
+    from fpsc_tpu.dsp.emphasis import deemphasis
+    from fpsc_tpu.eval.metrics import (log_spectral_distance,
+                                       stft_log_spectral_distance)
+    from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
+    from fpsc_tpu.train import train_lpcnet
+    from fpsc_tpu.train.train_lpcnet import vocoder_inputs
+
+    base = [
+        "data.synthetic=true", "data.synthetic_style=speech",
+        f"data.synthetic_utterances={utts}", "data.chunks=6",
+        "data.batch_size=16",
+        "train.learning_rate=0.001", "train.epochs=100000",
+        f"train.max_seconds={budget_s}",
+        "train.save_dir=/tmp/fpsc_ab_wall", "train.save_every=1000000",
+    ]
+    cfg = Config(label=time.strftime(f"{name}_%m%d_%H%M%S"))
+    apply_overrides(cfg, base + extra)
+    t0 = time.time()
+    params, ce = train_lpcnet.run(cfg)
+    wall = time.time() - t0
+    print(f"{name}: trained {wall:.0f}s wall, min CE {ce:.3f}",
+          flush=True)
+
+    ds = build_dataset(cfg.data, "val")
+    batch = next(ds.iter_batches(4, seed=0))
+    arrs = vocoder_inputs(batch)
+    y = np.asarray(pallas_generate(
+        params, jnp.asarray(arrs["feat"]),
+        jnp.asarray(arrs["periods"]), jnp.asarray(arrs["lpc"]),
+        jax.random.PRNGKey(0)))
+    truth = deemphasis(arrs["x"])
+    lsds = [log_spectral_distance(truth[i], y[i]) for i in range(4)]
+    slsds = [stft_log_spectral_distance(truth[i], y[i])
+             for i in range(4)]
+    noise = np.random.RandomState(0).randn(*truth[0].shape) * np.std(
+        truth[0])
+    print(f"{name}: Bark-LSD {np.mean(lsds):.3f} "
+          f"(noise {log_spectral_distance(truth[0], noise):.3f}), "
+          f"STFT-LSD {np.mean(slsds):.2f} dB", flush=True)
+    return float(np.mean(lsds)), float(np.mean(slsds)), ce
+
+
+def main(budget_s: float = 600.0, utts: int = 192):
+    arms = {
+        "bunch1": [],
+        "bunch2": ["lpcnet.bunch=2", "lpcnet.gru_b_units=32"],
+        "bunch1_noise": ["lpcnet.noise_levels=2"],
+        "bunch2_noise": ["lpcnet.bunch=2", "lpcnet.gru_b_units=32",
+                         "lpcnet.noise_levels=2"],
+    }
+    results = {}
+    for name, extra in arms.items():
+        results[name] = train_arm(name, budget_s, utts, extra)
+
+    print("\n=== equal-wall-time summary (budget "
+          f"{budget_s:.0f}s, {utts} utts) ===", flush=True)
+    for name, (lsd, slsd, ce) in results.items():
+        print(f"{name:14s} Bark-LSD {lsd:.3f}  STFT {slsd:.2f} dB  "
+              f"CE {ce:.3f}", flush=True)
+    best1 = min(results["bunch1"][0], results["bunch1_noise"][0])
+    best2 = min(results["bunch2"][0], results["bunch2_noise"][0])
+    gap = best2 - best1
+    print(f"bunched gap at equal wall time: {gap:+.3f} Bark-LSD "
+          f"({'within' if gap <= 0.05 else 'OUTSIDE'} the 0.05 "
+          f"deployment tolerance)", flush=True)
+
+
+if __name__ == "__main__":
+    main(float(sys.argv[1]) if len(sys.argv) > 1 else 600.0,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 192)

@@ -1,15 +1,25 @@
-"""PRODUCTION-CONFIG validation: the flagship codec end to end.
+"""LEARNED-MASK flagship validation (round-2 verdict item 2).
 
-Runs the deployed configuration on the speech-realistic fixtures at
-the largest in-repo data budget: production predictor (384/128),
-reference-size codebooks (scl 256 + VQ 1024x2 above threshold,
-scl 16 + VQ 512 below), entropy-coded bitstream, and the PRODUCTION
-vocoder - bunched (lpcnet.bunch=2, GRU_B 32) with the GRU_A
-block-sparsity ramp to 0.2 density - synthesising through the fused
-kernel's bunch=2 + static-block-sparse path (the bench.py headline
-configuration, quality-checked here on decoded features).
+The reference's actual listening-test encoder is the HARD MASK
+(reference src/synthesis_qtz.py:93 sets model_f.scale = 1000 and
+encodes through mask_enc, wavernn.py:259-310) — round 2 validated
+only the threshold path at flagship scale.  This script runs the
+mask codec end to end at the production config:
 
-    python scripts/validate_flagship.py [pred_epochs] [voc_epochs]
+1. predictor 384/128 trained WITH the learned-mask objective
+   (train_frame's mask_step: keep-rate penalty + scale annealing —
+   warmup_batches is set BELOW the batches-per-epoch so the mask
+   phase actually trains, unlike the flagship threshold run where
+   every batch fell in the teacher-forced warmup),
+2. reference-size codebooks trained on the MASK residual split
+   (codec.use_mask=true -> train_cb uses mask_enc's streams),
+3. encode val utterances through mask_enc(qtz=True) at scale 1000
+   (the hard mask), range-coded with the context-conditioned models
+   + shared training-set priors,
+4. decode + PRODUCTION vocoder (bunched GRU_B-32, sparse ramp) ->
+   decoded-audio Bark-LSD / STFT-LSD beside the threshold row.
+
+    python scripts/validate_mask_flagship.py [pred_epochs] [voc_epochs]
 """
 import sys
 import time
@@ -18,7 +28,7 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-OUT = "/tmp/fpsc_flagship"
+OUT = "/tmp/fpsc_mask_flagship"
 
 
 def main(pred_epochs: int = 400, voc_epochs: int = 400):
@@ -28,7 +38,7 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
     from fpsc_tpu.config.config import Config, apply_overrides
     from fpsc_tpu.train import generate_qtz_features, train_cb, train_frame
 
-    label = time.strftime("flag_%m%d_%H%M%S")
+    label = time.strftime("mask_%m%d_%H%M%S")
     data = [
         "data.synthetic=true", "data.synthetic_style=speech",
         "data.synthetic_utterances=96",
@@ -38,16 +48,19 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
         "predictor.gru_units1=384", "predictor.gru_units2=128",
         f"train.epochs={pred_epochs}", "train.learning_rate=0.001",
         f"train.save_dir={OUT}", "train.save_every=50",
-        # reference production codebook geometry (README.md:26-29)
+        # 96 utts / batch 16 = 6 batches per epoch: warmup_batches=1
+        # leaves batches 2..6 training the MASK objective each epoch
+        "train.warmup_batches=1", "train.keep_rate=0.3",
         "codec.vq_entries=1024,1024", "codec.vq_entries_bl=512",
         "codec.scl_entries=256", "codec.scl_entries_bl=16",
         f"codec.codebook_path={OUT}/cb.npz",
         "codec.entropy_coding=true",
+        "codec.use_mask=true",          # the deployed reference path
     ]
     cfg = Config(label=label)
     apply_overrides(cfg, overrides)
 
-    print("=== 1. predictor (384/128, 96 utts) ===", flush=True)
+    print("=== 1. predictor with LEARNED-MASK training ===", flush=True)
     t0 = time.time()
     _, min_loss = train_frame.run(cfg)
     print(f"{pred_epochs} epochs in {time.time()-t0:.0f}s, "
@@ -55,8 +68,7 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
 
     transfer = [f"train.transfer_model={label}",
                 f"train.transfer_epoch={pred_epochs - 1}"]
-    print("=== 2. codebooks (1024x2 + 512, reference sizes) ===",
-          flush=True)
+    print("=== 2. codebooks on MASK residual split ===", flush=True)
     cfg_cb = Config(label=label)
     apply_overrides(cfg_cb, overrides + transfer + [
         "train.debugging=true"])
@@ -64,16 +76,17 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
     train_cb.run(cfg_cb)
     print(f"codebooks in {time.time()-t0:.0f}s", flush=True)
 
-    print("=== 3. encode 16 utterances: bitrate + MSE ===", flush=True)
+    print("=== 3. mask encode (scale=1000 hard): bitrate + MSE ===",
+          flush=True)
     out = generate_qtz_features.run(cfg_cb, max_utterances=16,
                                     out_dir=f"{OUT}/qtz")
     priors = out["priors"]
-    print(f"coded-feature MSE {out['mse']:.6f}; "
-          f"fixed-layout bitrate {out['bitrate']:.0f} b/s; "
-          f"usage entropies {out['entropies']}", flush=True)
-
-    print("=== 4. PRODUCTION vocoder: bunched + sparse ramp ===",
+    print(f"coded-feature MSE {out['mse']:.6f}; rates: "
+          f"{out['bitrate']:.0f} fixed / {out['bitrate_rc']:.0f} rc / "
+          f"{out['bitrate_priors']:.0f} rc+priors (in-sample) b/s",
           flush=True)
+
+    print("=== 4. PRODUCTION vocoder (bunched + sparse) ===", flush=True)
     from fpsc_tpu.train import train_lpcnet
 
     cfg_v = Config(label=label + "_voc")
@@ -81,19 +94,17 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
         "train.learning_rate=0.001", f"train.epochs={voc_epochs}",
         f"train.save_dir={OUT}", "train.save_every=100",
         "lpcnet.bunch=2", "lpcnet.gru_b_units=32",
+        "lpcnet.noise_levels=2",
         "lpcnet.gru_a_density=0.2",
         "lpcnet.sparsify_start=200",
         f"lpcnet.sparsify_end={voc_epochs * 4}",
     ])
     t0 = time.time()
     voc_params, ce = train_lpcnet.run(cfg_v)
-    wh = np.asarray(voc_params.base.gru_a.wh)
-    blocks = wh.reshape(wh.shape[0] // 64, 64, wh.shape[1] // 64, 64)
-    live = float((np.abs(blocks).sum((1, 3)) > 0).mean())
-    print(f"{voc_epochs} epochs in {time.time()-t0:.0f}s, CE {ce:.3f}, "
-          f"GRU_A live-block fraction {live:.3f}", flush=True)
+    print(f"{voc_epochs} epochs in {time.time()-t0:.0f}s, CE {ce:.3f}",
+          flush=True)
 
-    print("=== 5. full transmit chain -> bunched sparse kernel ===",
+    print("=== 5. mask transmit chain -> bunched sparse kernel ===",
           flush=True)
     from fpsc_tpu.dsp.emphasis import deemphasis
     from fpsc_tpu.eval.metrics import (log_spectral_distance,
@@ -121,13 +132,14 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
         np.float32) * truth.std()
     lsd_n = log_spectral_distance(truth, noise)
     slsd_n = stft_log_spectral_distance(truth, noise)
-    print(f"decoded-audio Bark-LSD {np.mean(lsds):.3f} "
+    print(f"MASK PATH: decoded-audio Bark-LSD {np.mean(lsds):.3f} "
           f"(noise {lsd_n:.3f}); STFT-LSD {np.mean(slsds):.2f} dB "
-          f"(noise {slsd_n:.2f}); entropy-coded bitrate "
-          f"{np.mean(rates):.0f} b/s", flush=True)
+          f"(noise {slsd_n:.2f}); held-out entropy-coded bitrate "
+          f"{np.mean(rates):.0f} b/s (with shared priors + "
+          f"stage-conditioned models)", flush=True)
     assert np.mean(lsds) < 0.7 * lsd_n
     assert np.mean(rates) < 2000.0
-    print("FLAGSHIP VALIDATION PASSED", flush=True)
+    print("MASK FLAGSHIP VALIDATION PASSED", flush=True)
 
 
 if __name__ == "__main__":

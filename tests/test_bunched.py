@@ -120,6 +120,36 @@ def test_pallas_bunched_matches_xla_sampler():
     assert clean >= b - 2, f"only {clean}/{b} items flip-free"
 
 
+def test_pallas_bunched_strict_parity_no_knife_edge():
+    """STRICT interpret-mode f32 contract (round-2 verdict item 9):
+    on seeds whose uniform draws stay clear of every CDF boundary, the
+    bunch=2 and bunch=4 kernels must reproduce the XLA oracle's
+    trajectory with NO divergent sample at all — every mu-law decision
+    identical, audio within f32 arithmetic-order noise (~1e-6), far
+    below the 1e-3 threshold the statistical contract uses.  A real
+    kernel bug diverges by O(0.1) from the first wrong decision on
+    (seed-searched: bunch2 flips only on seed 0 of 12; bunch4 on none
+    of the first 3)."""
+    from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
+    rng = np.random.RandomState(41)
+    b, frames = 8, 2
+    feat = jnp.asarray((rng.randn(b, frames, 20) * 0.3).astype(np.float32))
+    periods = jnp.asarray(
+        rng.randint(32, 256, (b, frames)).astype(np.int32))
+    lpc = jnp.asarray((rng.randn(b, frames, 16) * 0.05).astype(np.float32))
+    cases = (
+        (lb.init_bunched(jax.random.PRNGKey(0), CFG), lb.generate, 1),
+        (lb.init_bunched4(jax.random.PRNGKey(0), CFG), lb.generate4, 0),
+    )
+    for params, gen, seed in cases:
+        key = jax.random.PRNGKey(seed)
+        want = np.asarray(gen(params, feat, periods, lpc, key))
+        got = np.asarray(pallas_generate(
+            params, feat, periods, lpc, key, dtype=jnp.float32,
+            interpret=True))
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
 def test_pallas_bunched_sparse_matches_dense():
     from fpsc_tpu.ops.lpcnet_sampler import (derive_block_pattern,
                                              pallas_generate)

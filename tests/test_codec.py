@@ -203,8 +203,14 @@ def test_bitstream_fuzz_random_geometries():
         got = bs.unpack_utterance(packed, sizes)
         packed_rc = rc.pack_utterance_rc(ind1, ind2, idx, pcodes, sizes)
         got_rc = rc.unpack_utterance_rc(packed_rc, sizes)
+        # with shared priors (training-usage counts seeding the
+        # adaptive tables, incl. the stage-conditioned contexts)
+        pri = rc.collect_priors([(ind1, ind2, idx)], sizes)
+        packed_pri = rc.pack_utterance_rc(ind1, ind2, idx, pcodes,
+                                          sizes, priors=pri)
+        got_pri = rc.unpack_utterance_rc(packed_pri, sizes, priors=pri)
 
-        for g in (got, got_rc):
+        for g in (got, got_rc, got_pri):
             np.testing.assert_array_equal(g["ind1"], ind1, err_msg=str(trial))
             np.testing.assert_array_equal(g["ind2"], ind2)
             np.testing.assert_array_equal(

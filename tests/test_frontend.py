@@ -66,3 +66,90 @@ def test_pitch_unvoiced_reports_floor():
     out = estimate_pitch(x, len(x) // C.FRAME_SIZE - 1)
     corr = out[:, 1] + 0.5
     assert float(np.mean(corr)) < 0.45   # noise: low correlation
+
+
+def test_grid_unvoiced_frames_skip_refinement():
+    """A frame whose even-grid peak correlation is <= 0 must report
+    PITCH_MAX / corr 0 — the odd-lag refinement may not flip it to
+    voiced with near-zero confidence (advisor round-2 finding).
+    The grid-unvoiced set is re-derived here with a naive loop.
+    (White noise always correlates positively at SOME of the 113 grid
+    lags, so the fixture needs silent spans: an all-zero segment has
+    correlation exactly 0 at every lag.)"""
+    from fpsc_tpu.dsp.frontend import (PITCH_MAX, PITCH_MIN)
+    rng = np.random.RandomState(3)
+    x = rng.randn(C.SAMPLE_RATE).astype(np.float32)
+    x[4000:6000] = 0.0
+    x[9000:10500] = 0.0
+    n_frames = len(x) // C.FRAME_SIZE - 1
+    out = estimate_pitch(x, n_frames)
+    period = out[:, 0] * 50 + 100
+    corr = out[:, 1] + 0.5
+
+    pad = np.concatenate([np.zeros(PITCH_MAX, np.float32), x])
+    hits = 0
+    for t in range(n_frames):
+        base = PITCH_MAX + C.FRAME_SIZE * t
+        seg = pad[base:base + C.WINDOW_SIZE].astype(np.float64)
+        peak = -np.inf
+        for lag in range(PITCH_MIN, PITCH_MAX + 1, 2):
+            ref = pad[base - lag:base - lag + C.WINDOW_SIZE
+                      ].astype(np.float64)
+            c = seg @ ref / np.sqrt((seg @ seg + 1e-9)
+                                    * (ref @ ref + 1e-9))
+            peak = max(peak, c)
+        if peak <= 0.0:
+            hits += 1
+            assert period[t] == PITCH_MAX and corr[t] == 0.0, (
+                t, period[t], corr[t])
+    assert hits > 0, "fixture produced no grid-unvoiced frames"
+
+
+def _mixed_fixture(seed=0, seconds=3):
+    rng = np.random.RandomState(seed)
+    n = C.SAMPLE_RATE * seconds
+    f0, phase = _sweep(rng, n)
+    x = sum(1.0 / (1 + 0.3 * k) * np.sin(k * phase + rng.uniform(0, 6))
+            for k in range(1, 20)).astype(np.float32)
+    x[16000:20000] = 0.01 * rng.randn(4000)   # noise span
+    x[30000:34000] = 0.0                      # silence span
+    return (x / np.abs(x).max()).astype(np.float32)
+
+
+def test_jnp_pitch_matches_numpy_oracle():
+    """The on-device search must make the SAME lag decisions as the
+    f64 NumPy oracle; only knife-edge f32 argmax flips are allowed
+    (bounded at 1%) and correlations must agree to f32 tolerance."""
+    import jax.numpy as jnp
+    from fpsc_tpu.dsp.frontend import estimate_pitch_jnp
+    for seed in (0, 7):
+        x = _mixed_fixture(seed)
+        n_frames = len(x) // C.FRAME_SIZE - 1
+        want = estimate_pitch(x, n_frames)
+        got = np.asarray(estimate_pitch_jnp(jnp.asarray(x), n_frames))
+        lag_w = np.round(want[:, 0] * 50 + 100)
+        lag_g = np.round(got[:, 0] * 50 + 100)
+        exact = float(np.mean(lag_w == lag_g))
+        assert exact >= 0.99, f"lag agreement {exact}"
+        close = np.abs(want[:, 1] - got[:, 1]) < 1e-4
+        assert float(np.mean(~close & (lag_w == lag_g))) == 0.0
+
+
+def test_jitted_extract_features_matches_numpy():
+    """extract_features (one XLA program) vs extract_features_np."""
+    import jax.numpy as jnp
+    from fpsc_tpu.dsp.frontend import extract_features, extract_features_np
+    x = _mixed_fixture(1)
+    want = extract_features_np(x)
+    got = np.asarray(extract_features(jnp.asarray(x)))
+    assert want.shape == got.shape
+    # compare recovered integer lags, not raw floats: XLA's f32
+    # divide (reciprocal multiply) may differ from NumPy's by 1 ulp
+    lag_w = np.round(want[:, 18] * 50 + 100)
+    lag_g = np.round(got[:, 18] * 50 + 100)
+    agree = lag_w == lag_g
+    assert float(np.mean(agree)) >= 0.99        # pitch lags
+    rows = agree                                 # comparable rows
+    assert np.abs(want[rows, :18] - got[rows, :18]).max() < 1e-4
+    assert np.abs(want[rows, 19] - got[rows, 19]).max() < 1e-4
+    assert np.abs(want[rows, 20:] - got[rows, 20:]).max() < 1e-4
