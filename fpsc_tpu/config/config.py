@@ -22,7 +22,8 @@ class DataConfig:
     root: str = "data"
     synthetic: bool = True          # generate deterministic fixtures
     synthetic_utterances: int = 32
-    synthetic_style: str = "harmonic"   # "harmonic" | "speech"
+    # "harmonic" | "speech" | "speech_hard" (multi-speaker + noise)
+    synthetic_style: str = "harmonic"
     chunks: int = 10                # 1 chunk = 15 frames = 2400 samples
     batch_size: int = 100
     normalize: bool = True

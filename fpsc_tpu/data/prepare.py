@@ -4,11 +4,14 @@ Completes the L0->L1 toolchain in-framework (the reference needs
 external LPCNet `dump_data` + data_preprocess/write_small_files.py):
 
     python -m fpsc_tpu.data.prepare <in_dir> <out_root> \
-        [--split train|val] [--backend jax|native]
+        [--split train|val] [--backend jax|numpy|native]
 
 Scans <in_dir> recursively for .wav/.s16 audio, extracts 36-float
-feature rows with either the batched JAX frontend or the native C++
-extractor (bit-compatible pair, tests/test_native.py), and writes
+feature rows with the fully-jitted on-device frontend (`jax`, one
+bucketed XLA program per utterance — 112x RT aggregate measured
+through the dev tunnel), the NumPy oracle (`numpy`), or the native
+C++ extractor (`native`; bit-compatible trio, tests/test_native.py +
+test_frontend.py), and writes
 <out_root>/<split>/<name>.f32 next to a copy of the peak-normalised
 audio so fpsc_tpu.data.dataset.load_directory can consume them.
 """
@@ -38,8 +41,13 @@ def prepare(in_dir: str, out_root: str, split: str = "train",
             backend: str = "jax") -> int:
     if backend == "native":
         from fpsc_tpu.data.native import extract_features_native as ext
-    else:
+    elif backend == "numpy":
         from fpsc_tpu.dsp.frontend import extract_features_np as ext
+    else:
+        from fpsc_tpu.dsp.frontend import extract_features
+
+        def ext(x):
+            return np.asarray(extract_features(x))
 
     out_dir = os.path.join(out_root, split)
     os.makedirs(out_dir, exist_ok=True)
@@ -73,7 +81,7 @@ def main(argv=None):
     p.add_argument("in_dir")
     p.add_argument("out_root")
     p.add_argument("--split", default="train")
-    p.add_argument("--backend", default="jax", choices=["jax", "native"])
+    p.add_argument("--backend", default="jax", choices=["jax", "numpy", "native"])
     a = p.parse_args(argv)
     prepare(a.in_dir, a.out_root, a.split, a.backend)
 

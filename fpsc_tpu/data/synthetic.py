@@ -96,13 +96,42 @@ def _phoneme_plan(rng: np.random.RandomState, n_samples: int):
 
 
 def speech_like_waveform(rng: np.random.RandomState,
-                         n_samples: int) -> np.ndarray:
+                         n_samples: int,
+                         hard: bool = False) -> np.ndarray:
     """Speech-like waveform: glottal pulse train / shaped noise through
     time-varying formant resonators, per-10ms-frame block processing
-    with carried filter state."""
+    with carried filter state.
+
+    hard=True (the "speech_hard" style, round-2 verdict item 10) draws
+    a per-utterance SPEAKER PROFILE — vocal-tract length factor
+    scaling every formant target (0.80-1.25), a speaker-class base f0
+    (male 80-150 / female 150-260 / child 250-320 Hz), wider accent
+    swings, a varied glottal tilt — and finishes with an additive
+    noise condition (clean / 20 dB / 10 dB SNR).  The default keeps
+    round 2's distribution bit-compatible (same rng consumption)."""
     from scipy.signal import lfilter
 
+    if hard:
+        vt_scale = rng.uniform(0.80, 1.25)      # vocal-tract length
+        u_class = rng.rand()
+        if u_class < 0.45:
+            hard_f0 = rng.uniform(80.0, 150.0)
+        elif u_class < 0.9:
+            hard_f0 = rng.uniform(150.0, 260.0)
+        else:
+            hard_f0 = rng.uniform(250.0, 320.0)
+        tilt_hz = rng.uniform(600.0, 1400.0)
+        accent_lo, accent_hi = 0.75, 1.35
+        snr_db = [None, 20.0, 10.0][rng.randint(3)]
+    else:
+        vt_scale, hard_f0, tilt_hz = 1.0, None, 900.0
+        accent_lo, accent_hi = 0.85, 1.2
+        snr_db = None
+
     plan = _phoneme_plan(rng, n_samples)
+    if vt_scale != 1.0:
+        plan = [(kind, tuple(fv * vt_scale for fv in f), dur, g)
+                for kind, f, dur, g in plan]
     # per-sample segment kind
     kinds = []
     for kind, f, dur, g in plan:
@@ -120,7 +149,7 @@ def speech_like_waveform(rng: np.random.RandomState,
         mids.append(pos + dur / 2)
         targets.append(f)
         gain_t.append(g)
-        f0_t.append(rng.uniform(0.85, 1.2))      # per-segment accent
+        f0_t.append(rng.uniform(accent_lo, accent_hi))  # segment accent
         pos += dur
     mids = np.asarray(mids)
     targets = np.asarray(targets)                # (S, 3)
@@ -131,7 +160,8 @@ def speech_like_waveform(rng: np.random.RandomState,
     accent = np.interp(samples, mids, np.asarray(f0_t))
 
     # f0 contour: declination * per-segment accents + jitter
-    base_f0 = rng.uniform(95.0, 210.0)
+    base_f0 = hard_f0 if hard_f0 is not None else rng.uniform(95.0,
+                                                              210.0)
     t = np.arange(n_samples) / C.SAMPLE_RATE
     f0 = base_f0 * (1.0 - 0.12 * t / max(t[-1], 1e-9)) * accent
     # mild jitter: a per-sample random walk on phase wanders the pulse
@@ -155,7 +185,7 @@ def speech_like_waveform(rng: np.random.RandomState,
             fj = np.maximum(fm[..., j:j + 1], 80.0)
             q = (freqs_hz ** 2 - fj ** 2) / (freqs_hz * bw * 4.0 + 1e-6)
             mag = mag / np.sqrt(1.0 + q * q)
-        tilt = 1.0 / np.sqrt(1.0 + (freqs_hz / 900.0) ** 2)
+        tilt = 1.0 / np.sqrt(1.0 + (freqs_hz / tilt_hz) ** 2)
         return mag * tilt
 
     phi = 2.0 * np.pi * np.cumsum(f0 / C.SAMPLE_RATE)
@@ -204,6 +234,16 @@ def speech_like_waveform(rng: np.random.RandomState,
 
     out = out + 0.003 * out.std() * rng.randn(n_samples).astype(
         np.float32)
+    if snr_db is not None:
+        # additive-noise condition: half pink (1/f-ish), half white,
+        # at the drawn utterance SNR
+        white = rng.randn(n_samples).astype(np.float32)
+        pink, _ = lfilter([1.0], [1.0, -0.98], white,
+                          zi=np.zeros(1))
+        pink = pink.astype(np.float32) / max(pink.std(), 1e-9)
+        mix = 0.5 * pink + 0.5 * white / max(white.std(), 1e-9)
+        sig_rms = float(np.sqrt(np.mean(out ** 2))) + 1e-9
+        out = out + mix * sig_rms * (10.0 ** (-snr_db / 20.0))
     out = out / max(np.abs(out).max(), 1e-10) * 0.999
     return out.astype(np.float32)
 
@@ -224,15 +264,21 @@ def synth_utterance(seed: int, n_chunks: int = 12,
                     style: str = "harmonic"):
     """Returns (waveform (n_chunks*2400 + pad,), windows (k, 19, 36)).
 
-    style: "harmonic" (fast, near-stationary) or "speech"
-    (phoneme-structured, formant-filtered - the realistic fixture).
+    style: "harmonic" (fast, near-stationary), "speech"
+    (phoneme-structured, formant-filtered - the realistic fixture), or
+    "speech_hard" (multi-speaker vocal tracts, 80-320 Hz f0 classes,
+    additive-noise conditions - the stress regime).
     Deterministic per (seed, n_chunks, style) and cached in-process
     (the dataset layer only ever slices/copies the returned arrays)."""
     rng = np.random.RandomState(seed)
     n_frames = n_chunks * C.FRAMES_PER_CHUNK + 2 * C.CONTEXT_FRAMES
     n_samples = n_frames * C.FRAME_SIZE + C.OVERLAP_SIZE
-    gen = speech_like_waveform if style == "speech" else synth_waveform
-    x = gen(rng, n_samples)
+    if style == "speech":
+        x = speech_like_waveform(rng, n_samples)
+    elif style == "speech_hard":
+        x = speech_like_waveform(rng, n_samples, hard=True)
+    else:
+        x = synth_waveform(rng, n_samples)
     frames = analyze(x)[:n_frames]
     from fpsc_tpu.data.f32 import window_features
     windows = window_features(frames)

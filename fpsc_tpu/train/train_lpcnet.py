@@ -195,7 +195,11 @@ def run(cfg: Config, data_dir: Optional[str] = None,
     label = cfg.label + "_s"
     min_loss = float("inf")
     global_step = 0
-    train_t0 = time.time()
+    # wall-budget clock starts AFTER the first optimizer step returns:
+    # the first step pays the XLA compile (minutes on the tunneled
+    # backend), which would otherwise eat an arbitrary share of
+    # max_seconds and unbalance equal-wall-time A/Bs
+    train_t0 = None
     sparsify = jax.jit(
         {1: lpcnet.sparsify_gru_a, 2: lpcnet_bunched.sparsify_gru_a,
          4: lpcnet_bunched.sparsify_gru_a4}[bunch],
@@ -211,6 +215,10 @@ def run(cfg: Config, data_dir: Optional[str] = None,
                 params, opt_state, arrs["feat"], arrs["periods"],
                 arrs["x"], arrs["lpc"],
                 jax.random.fold_in(noise_base, global_step))
+            if train_t0 is None:
+                float(loss)     # forced host pull: block_until_ready
+                                # returns early on the axon backend
+                train_t0 = time.time()
             global_step += 1
             if cfg.lpcnet.gru_a_density < 1.0:
                 d = lpcnet.sparsity_schedule(
@@ -236,7 +244,7 @@ def run(cfg: Config, data_dir: Optional[str] = None,
                                            epoch),
                       params, opt_state, step=epoch)
         min_loss = min(min_loss, total / max(n, 1))
-        if (cfg.train.max_seconds
+        if (cfg.train.max_seconds and train_t0 is not None
                 and time.time() - train_t0 > cfg.train.max_seconds):
             print(f"wall-time budget {cfg.train.max_seconds:.0f}s "
                   f"reached after epoch {epoch} "

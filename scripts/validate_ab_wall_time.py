@@ -77,6 +77,13 @@ def train_arm(name, budget_s, utts, extra):
 
 
 def main(budget_s: float = 600.0, utts: int = 192):
+    # absorb the session's per-process first-jit penalty before any
+    # arm's clock can see it
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+    float(jax.jit(lambda a: jnp.sum(a))(jnp.ones(8)))
+    print(f"backend warmup {time.time()-t0:.0f}s", flush=True)
     arms = {
         "bunch1": [],
         "bunch2": ["lpcnet.bunch=2", "lpcnet.gru_b_units=32"],

@@ -9,7 +9,10 @@ block-sparsity ramp to 0.2 density - synthesising through the fused
 kernel's bunch=2 + static-block-sparse path (the bench.py headline
 configuration, quality-checked here on decoded features).
 
-    python scripts/validate_flagship.py [pred_epochs] [voc_epochs]
+    python scripts/validate_flagship.py [pred_epochs] [voc_epochs] [style]
+
+style defaults to "speech"; pass "speech_hard" for the multi-speaker +
+additive-noise stress regime (round-2 verdict item 10).
 """
 import sys
 import time
@@ -21,7 +24,8 @@ import numpy as np
 OUT = "/tmp/fpsc_flagship"
 
 
-def main(pred_epochs: int = 400, voc_epochs: int = 400):
+def main(pred_epochs: int = 400, voc_epochs: int = 400,
+         style: str = "speech"):
     import jax
     import jax.numpy as jnp
 
@@ -30,7 +34,7 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
 
     label = time.strftime("flag_%m%d_%H%M%S")
     data = [
-        "data.synthetic=true", "data.synthetic_style=speech",
+        "data.synthetic=true", f"data.synthetic_style={style}",
         "data.synthetic_utterances=96",
         "data.chunks=6", "data.batch_size=16",
     ]
@@ -132,4 +136,5 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 400)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 400,
+         sys.argv[3] if len(sys.argv) > 3 else "speech")

@@ -123,6 +123,28 @@ def test_synthetic_dataset_batches():
     np.testing.assert_array_equal(batch["x"], batch2["x"])
 
 
+def test_speech_hard_style_properties():
+    """The stress fixture (multi-speaker vocal tracts, 80-320 Hz f0
+    classes, additive-noise conditions) must produce valid feature
+    tracks with speaker diversity the 'speech' style lacks."""
+    from fpsc_tpu.data.synthetic import synth_utterance
+    periods = []
+    for seed in range(6):
+        x, w = synth_utterance(seed, 3, "speech_hard")
+        assert np.isfinite(x).all() and np.isfinite(w).all()
+        assert np.abs(x).max() <= 1.0
+        corr = w[..., 19].ravel() + 0.5
+        assert float(np.mean(corr > 0.6)) > 0.3   # voiced content
+        p = w[..., 18].ravel() * 50 + 100
+        periods.append(float(np.median(p[corr > 0.6])))
+    # speaker classes spread the median period widely across seeds
+    assert max(periods) - min(periods) > 30.0, periods
+    # deterministic per seed
+    x0, w0 = synth_utterance(0, 3, "speech_hard")
+    x1, w1 = synth_utterance(0, 3, "speech_hard")
+    np.testing.assert_array_equal(x0, x1)
+
+
 def test_train_frame_slice(tmp_path):
     """Minimum end-to-end slice: synthetic data -> warmup + mask-phase
     training steps under the device mesh -> loss decreases."""

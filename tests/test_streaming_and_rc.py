@@ -198,6 +198,57 @@ def test_pack_utterance_rc_roundtrip_and_rate(setup):
     assert rate_rc < 0.85 * rate_fx, (rate_rc, rate_fx)
 
 
+def test_stage_conditioning_and_priors_reduce_rate():
+    """On streams with (a) stage-1 indices statistically coupled to
+    stage-0's context bucket and (b) a skewed stationary usage
+    distribution, the conditioned models + shared priors must code
+    measurably below the round-2 coder's order-0 adaptive tables.
+    (The round-2 rate is emulated here by an unconditioned
+    AdaptiveFreqTable walk over the same streams.)"""
+    rng = np.random.RandomState(5)
+    sizes = {"scl": 16, "scl_bl": 0, "vq": [64, 64], "vq_bl": []}
+    length = 600
+    ind1 = np.ones(length, bool)
+    ind2 = np.ones(length, bool)
+    # stage-0: skewed usage; stage-1: depends on stage-0's bucket
+    i0 = rng.zipf(1.5, length).clip(1, 64) - 1
+    bucket = i0 >> 4
+    i1 = (bucket * 16 + rng.zipf(1.6, length).clip(1, 16) - 1)
+    idx = {"scl": rng.randint(16, size=length),
+           "scl_bl": np.full(length, -1),
+           "vq": np.stack([i0, i1], 1).astype(np.int64),
+           "vq_bl": np.full((length, 1), -1)}
+    pitch = np.stack([np.full(length, 1.0),
+                      np.full(length, 0.3)], 1)
+    from fpsc_tpu.codec import bitstream as bs
+    pcodes = bs.quantize_pitch(pitch)
+
+    plain = rc.pack_utterance_rc(ind1, ind2, idx, pcodes, sizes)
+    pri = rc.collect_priors([(ind1, ind2, idx)], sizes)
+    primed = rc.pack_utterance_rc(ind1, ind2, idx, pcodes, sizes,
+                                  priors=pri)
+    # roundtrip stays exact in both modes
+    got = rc.unpack_utterance_rc(primed, sizes, priors=pri)
+    np.testing.assert_array_equal(got["indices"]["vq"], idx["vq"])
+    # order-0 baseline: unconditioned adaptive tables over the same
+    # vq streams (the round-2 design)
+    enc = rc.RangeEncoder()
+    t0 = rc.AdaptiveFreqTable(64)
+    t1 = rc.AdaptiveFreqTable(64)
+    for t in range(length):
+        rc._code_adaptive(enc, t0, int(i0[t]), False)
+        rc._code_adaptive(enc, t1, int(i1[t]), False)
+    order0_vq_bits = len(enc.finish()) * 8
+    # conditioned-without-priors must already beat order-0 on the vq
+    # payload share; priors must beat conditioned-alone
+    assert len(primed) < len(plain), (len(primed), len(plain))
+    # total conditioned stream (incl. pitch/ind/scl overhead) stays
+    # below order-0 vq bits alone + that overhead approximated by the
+    # plain/primed delta -- simplest robust check: primed total less
+    # than order-0 vq payload + 4 bits/frame overhead
+    assert len(primed) * 8 < order0_vq_bits + 4 * length
+
+
 def test_entropy_pack_roundtrip_and_rate(setup):
     params, cbs, feat = setup
     feat_long = (RNG.randn(1, 60, 20) * 0.3).astype(np.float32)
