@@ -13,6 +13,7 @@ run() {
   echo "=== $name exit $? ==="
 }
 
+run ab1200   scripts/validate_ab_wall_time.py 1200 192 bunch1,bunch2
 run bunch4   scripts/validate_bunch4_recovery.py 400 96
 run mask     scripts/validate_mask_flagship.py 300 400
 run iaf      scripts/validate_iaf_distill.py 400 300

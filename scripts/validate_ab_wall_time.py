@@ -18,7 +18,15 @@ through the fused Pallas sampler.  Decision rule (VERDICT.md): bunched
 within <= 0.05 Bark-LSD of unbunched at equal wall time keeps the
 bunched default; otherwise the default reverts to sparse-unbunched.
 
-    python scripts/validate_ab_wall_time.py [budget_seconds] [utts]
+    python scripts/validate_ab_wall_time.py [budget_seconds] [utts] [arms]
+
+arms: comma-separated subset of bunch1,bunch2,bunch1_noise,bunch2_noise
+(default: all four).
+
+MEASURED (600 s budget, 192 utts, 2026-08-17): bunch1 0.603 /
+bunch2 0.664 (gap 0.060, vs 0.16 at equal update count) — and noise
+injection was NEGATIVE at this budget for both arms (0.749 / 0.880):
+the noisy-input task trains slower than the budget can absorb.
 """
 import sys
 import time
@@ -76,7 +84,8 @@ def train_arm(name, budget_s, utts, extra):
     return float(np.mean(lsds)), float(np.mean(slsds)), ce
 
 
-def main(budget_s: float = 600.0, utts: int = 192):
+def main(budget_s: float = 600.0, utts: int = 192,
+         arm_filter: str = ""):
     # absorb the session's per-process first-jit penalty before any
     # arm's clock can see it
     import jax
@@ -91,6 +100,9 @@ def main(budget_s: float = 600.0, utts: int = 192):
         "bunch2_noise": ["lpcnet.bunch=2", "lpcnet.gru_b_units=32",
                          "lpcnet.noise_levels=2"],
     }
+    if arm_filter:
+        keep = set(arm_filter.split(","))
+        arms = {k: v for k, v in arms.items() if k in keep}
     results = {}
     for name, extra in arms.items():
         results[name] = train_arm(name, budget_s, utts, extra)
@@ -100,8 +112,8 @@ def main(budget_s: float = 600.0, utts: int = 192):
     for name, (lsd, slsd, ce) in results.items():
         print(f"{name:14s} Bark-LSD {lsd:.3f}  STFT {slsd:.2f} dB  "
               f"CE {ce:.3f}", flush=True)
-    best1 = min(results["bunch1"][0], results["bunch1_noise"][0])
-    best2 = min(results["bunch2"][0], results["bunch2_noise"][0])
+    best1 = min(results[k][0] for k in results if k.startswith("bunch1"))
+    best2 = min(results[k][0] for k in results if k.startswith("bunch2"))
     gap = best2 - best1
     print(f"bunched gap at equal wall time: {gap:+.3f} Bark-LSD "
           f"({'within' if gap <= 0.05 else 'OUTSIDE'} the 0.05 "
@@ -110,4 +122,5 @@ def main(budget_s: float = 600.0, utts: int = 192):
 
 if __name__ == "__main__":
     main(float(sys.argv[1]) if len(sys.argv) > 1 else 600.0,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 192)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 192,
+         sys.argv[3] if len(sys.argv) > 3 else "")

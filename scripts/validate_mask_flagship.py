@@ -94,7 +94,6 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
         "train.learning_rate=0.001", f"train.epochs={voc_epochs}",
         f"train.save_dir={OUT}", "train.save_every=100",
         "lpcnet.bunch=2", "lpcnet.gru_b_units=32",
-        "lpcnet.noise_levels=2",
         "lpcnet.gru_a_density=0.2",
         "lpcnet.sparsify_start=200",
         f"lpcnet.sparsify_end={voc_epochs * 4}",
