@@ -39,16 +39,6 @@ def _load_audio(path: str) -> np.ndarray:
 
 def prepare(in_dir: str, out_root: str, split: str = "train",
             backend: str = "jax") -> int:
-    if backend == "native":
-        from fpsc_tpu.data.native import extract_features_native as ext
-    elif backend == "numpy":
-        from fpsc_tpu.dsp.frontend import extract_features_np as ext
-    else:
-        from fpsc_tpu.dsp.frontend import extract_features
-
-        def ext(x):
-            return np.asarray(extract_features(x))
-
     out_dir = os.path.join(out_root, split)
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(glob.glob(os.path.join(in_dir, "**", "*.wav"),
@@ -57,12 +47,27 @@ def prepare(in_dir: str, out_root: str, split: str = "train",
                                recursive=True))
     from fpsc_tpu.dsp.emphasis import preemphasis
 
-    n = 0
+    names, waves = [], []
     for path in files:
-        name = os.path.splitext(os.path.basename(path))[0]
         x = _load_audio(path)
-        x = x / max(np.abs(x).max(), 1e-10) * 0.999
-        frames = ext(x)
+        names.append(os.path.splitext(os.path.basename(path))[0])
+        waves.append(x / max(np.abs(x).max(), 1e-10) * 0.999)
+
+    if backend == "jax":
+        # bucket-grouped vmapped frontend: the whole corpus shares a
+        # handful of compiles, each dispatch carries a full batch
+        from fpsc_tpu.dsp.frontend import extract_features_batch
+        all_frames = extract_features_batch(waves)
+    else:
+        if backend == "native":
+            from fpsc_tpu.data.native import (
+                extract_features_native as ext)
+        else:
+            from fpsc_tpu.dsp.frontend import extract_features_np as ext
+        all_frames = [ext(x) for x in waves]
+
+    n = 0
+    for name, x, frames in zip(names, waves, all_frames):
         if frames.shape[0] == 0:
             continue
         write_f32(os.path.join(out_dir, name + ".f32"), frames)

@@ -322,6 +322,51 @@ def _extract_features_jit(x: jax.Array, n_frames: int,
     return jnp.concatenate([ceps, pitch, lpc], axis=1)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _extract_features_vjit(xs: jax.Array, n_frames: int,
+                           preemph: float) -> jax.Array:
+    """(B, samples) same-bucket waveforms -> (B, n_frames, 36)."""
+    return jax.vmap(lambda x: _extract_features_jit(x, n_frames,
+                                                    preemph))(xs)
+
+
+def extract_features_batch(waves, preemph: float = 0.85):
+    """Batched corpus analysis: a list of waveforms -> list of
+    (n_frames_i, 36) arrays.
+
+    Groups utterances into PITCH_SLAB frame buckets, pads each group
+    to its bucket length and runs ONE vmapped XLA program per bucket —
+    the whole corpus shares a handful of compiles and each dispatch
+    carries a full batch (the single-utterance path is dispatch-bound
+    through the dev tunnel: ~80 ms/call vs 27 ms of device time for
+    10 s of audio).  SURVEY §2.2's "batched across utterances"
+    frontend."""
+    metas = []
+    for i, x in enumerate(waves):
+        n_frames = max(0, int(np.shape(x)[0]) // C.FRAME_SIZE - 1)
+        t_pad = -(-n_frames // PITCH_SLAB) * PITCH_SLAB if n_frames \
+            else 0
+        metas.append((i, n_frames, t_pad))
+    out = [None] * len(waves)
+    by_bucket = {}
+    for i, n_frames, t_pad in metas:
+        if n_frames == 0:
+            out[i] = np.zeros((0, 36), np.float32)
+        else:
+            by_bucket.setdefault(t_pad, []).append((i, n_frames))
+    for t_pad, members in sorted(by_bucket.items()):
+        need = C.FRAME_SIZE * (t_pad + 1)
+        stack = np.zeros((len(members), need), np.float32)
+        for row, (i, _) in enumerate(members):
+            x = np.asarray(waves[i], np.float32)[:need]
+            stack[row, :x.shape[0]] = x
+        feats = np.asarray(_extract_features_vjit(
+            jnp.asarray(stack), t_pad, float(preemph)))
+        for row, (i, n_frames) in enumerate(members):
+            out[i] = feats[row, :n_frames]
+    return out
+
+
 def extract_features_np(x: np.ndarray,
                         preemph: float = 0.85) -> np.ndarray:
     """Waveform -> (n_frames, 36) feature rows

@@ -96,6 +96,7 @@ def main(budget_s: float = 600.0, utts: int = 192,
     arms = {
         "bunch1": [],
         "bunch2": ["lpcnet.bunch=2", "lpcnet.gru_b_units=32"],
+        "bunch2_gb64": ["lpcnet.bunch=2", "lpcnet.gru_b_units=64"],
         "bunch1_noise": ["lpcnet.noise_levels=2"],
         "bunch2_noise": ["lpcnet.bunch=2", "lpcnet.gru_b_units=32",
                          "lpcnet.noise_levels=2"],

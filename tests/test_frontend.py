@@ -135,6 +135,22 @@ def test_jnp_pitch_matches_numpy_oracle():
         assert float(np.mean(~close & (lag_w == lag_g))) == 0.0
 
 
+def test_batched_extract_features_matches_single():
+    """extract_features_batch (bucket-grouped vmap) must reproduce the
+    per-utterance jitted path exactly, across different lengths that
+    land in different buckets."""
+    import jax.numpy as jnp
+    from fpsc_tpu.dsp.frontend import (extract_features,
+                                       extract_features_batch)
+    waves = [_mixed_fixture(0, 2), _mixed_fixture(1, 3),
+             _mixed_fixture(2, 2)[:12345], np.zeros(100, np.float32)]
+    got = extract_features_batch(waves)
+    for x, g in zip(waves, got):
+        want = np.asarray(extract_features(jnp.asarray(x)))
+        assert g.shape == want.shape
+        np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-5)
+
+
 def test_jitted_extract_features_matches_numpy():
     """extract_features (one XLA program) vs extract_features_np."""
     import jax.numpy as jnp
