@@ -158,6 +158,61 @@ def test_train_cb_and_generate_entries(tmp_path):
     assert w.shape[1:] == (19, 36)
 
 
+def test_mask_path_entries_end_to_end(tmp_path):
+    """The LEARNED-MASK codec path through the real entry points
+    (codec.use_mask=true): train_cb trains books on the mask residual
+    split, generate_qtz_features encodes through mask_enc(qtz=True)
+    at the hard scale, and the priors-coded rate reports. Mirrors the
+    reference's deployed encoder (synthesis_qtz.py:93 scale=1000)."""
+    from fpsc_tpu.train import train_cb, generate_qtz_features as gqf
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.synthetic=true", "data.synthetic_utterances=4",
+        "data.chunks=2", "data.batch_size=4",
+        "predictor.gru_units1=32", "predictor.gru_units2=16",
+        "codec.vq_entries=16,8", "codec.vq_entries_bl=8",
+        "codec.scl_entries=8", "codec.scl_entries_bl=4",
+        "codec.use_mask=true",
+        f"codec.codebook_path={tmp_path}/cb.npz",
+        "train.debugging=true", f"train.save_dir={tmp_path}",
+    ])
+    books = train_cb.run(cfg)
+    assert books.vq[0].shape == (16, 17)
+    report = gqf.run(cfg, max_utterances=4,
+                     out_dir=str(tmp_path / "qtz"))
+    assert report["bitrate"] > 0 and np.isfinite(report["mse"])
+    assert report["bitrate_priors"] > 0
+    # transmit chain roundtrip under the mask path with priors
+    from fpsc_tpu.codec import range_coder as rc
+    from fpsc_tpu.codec import bitstream as bs
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    from fpsc_tpu.models import frame_predictor as fp
+    from fpsc_tpu.train.train_frame import build_model
+    params = build_model(cfg, jax.random.PRNGKey(cfg.train.seed))
+    feat = (np.random.RandomState(3).randn(1, 34, 20) * 0.3
+            ).astype(np.float32)
+    enc = encode(params, books, jnp.asarray(feat), use_mask=True)
+    sizes = codebook_sizes(books)
+    ind1 = np.asarray(enc["ind1"])[0]
+    ind2 = np.asarray(enc["ind2"])[0]
+    idx = {k: np.asarray(v)[0] for k, v in enc["indices"].items()}
+    pcodes = bs.quantize_pitch(feat[0, :, 18:] * 24.1)
+    pri = report["priors"]
+    packed = rc.pack_utterance_rc(ind1, ind2, idx, pcodes, sizes,
+                                  priors=pri)
+    got = rc.unpack_utterance_rc(packed, sizes, priors=pri)
+    np.testing.assert_array_equal(got["ind1"], ind1)
+    np.testing.assert_array_equal(got["ind2"], ind2)
+    dec = decode(params, books, jnp.asarray(got["ind1"][None]),
+                 jnp.asarray(got["ind2"][None]),
+                 {k: jnp.asarray(v[None])
+                  for k, v in got["indices"].items()},
+                 jnp.asarray(feat[..., 18:]))
+    np.testing.assert_allclose(np.asarray(dec),
+                               np.asarray(enc["coded"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_bitstream_fuzz_random_geometries():
     """Property test: for randomized codebook geometries, stage counts
     and frame streams, BOTH packers (fixed-layout and entropy-coded)
