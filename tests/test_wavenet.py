@@ -133,3 +133,19 @@ def test_para_predictor():
     ind2 = np.asarray(enc["ind2"])
     assert np.all((np.abs(np.asarray(enc["r"])[:, :, 1:]).sum(-1) > 0)
                   <= ind2)
+
+
+def test_kl_gaussians_closed_form():
+    """KL(q||q) = 0; nonzero case matches the hand formula
+    (reference src/loss.py:25-37 semantics)."""
+    import jax.numpy as jnp
+    from fpsc_tpu.train.train_iaf import kl_gaussians
+    mu = jnp.asarray([0.3, -1.0]); logs = jnp.asarray([-0.5, 0.2])
+    assert abs(float(kl_gaussians(mu, logs, mu, logs))) < 1e-7
+    mu_p = jnp.asarray([0.0, 0.0]); logs_p = jnp.asarray([0.0, 0.0])
+    got = float(kl_gaussians(mu, logs, mu_p, logs_p))
+    import numpy as np
+    var_q = np.exp(2 * np.asarray(logs))
+    want = np.mean(0.0 - np.asarray(logs)
+                   + (var_q + np.asarray(mu) ** 2) / 2.0 - 0.5)
+    assert abs(got - want) < 1e-6
