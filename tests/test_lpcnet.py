@@ -248,3 +248,48 @@ def test_train_lpcnet_sparsify_path(tmp_path):
     # (96, 32) with (16, 32)-clamped blocks -> some blocks zeroed
     zero_frac = float((wh == 0).mean())
     assert zero_frac > 0.2, zero_frac
+
+
+def test_noisy_streams_consistency():
+    """noisy_streams invariants: the input excitation is self-
+    consistent with the noisy signal path (exc_in = x_n - pred(x_n)
+    rolled), the target steers back to the CLEAN sample
+    (exc_tgt + pred_t == x), and noise_levels=0 reduces to the
+    teacher streams exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fpsc_tpu.dsp.lpc import lpc_pred
+    from fpsc_tpu.models import lpcnet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray((rng.randn(3, 320) * 0.1).astype(np.float32))
+    lpc = jnp.asarray((rng.randn(3, 2, 16) * 0.05).astype(np.float32))
+    key = jax.random.PRNGKey(4)
+    x_n, exc_in, pred_t, exc_tgt = lpcnet.noisy_streams(x, lpc, key, 2)
+    pred = lpc_pred(x_n, lpc)
+    want_pred_t = jnp.roll(pred, 1, axis=-1).at[:, 0].set(0.0)
+    np.testing.assert_allclose(np.asarray(pred_t),
+                               np.asarray(want_pred_t), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(exc_in),
+                               np.asarray(x_n - pred_t), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(exc_tgt + pred_t),
+                               np.asarray(x), atol=1e-6)
+    # the noisy signal stays within +-2 mu-law codes of the original
+    from fpsc_tpu.dsp.mulaw import l2u_index
+    du = np.abs(np.asarray(l2u_index(x_n * 32768.0))
+                - np.asarray(l2u_index(x * 32768.0)))
+    assert du.max() <= 3        # rounding can add 1 to the 2-code cap
+    # levels=0 reduces to the teacher streams up to the mu-law
+    # ROUNDING of the signal path (noisy_streams always quantises the
+    # history to the 8-bit lattice generation actually carries)
+    x_0, exc_in0, pred_t0, exc_tgt0 = lpcnet.noisy_streams(
+        x, lpc, key, 0)
+    du0 = np.abs(np.asarray(l2u_index(x_0 * 32768.0))
+                 - np.asarray(l2u_index(x * 32768.0)))
+    assert du0.max() == 0
+    exc_ref, pred_ref = lpcnet.teacher_streams(x, lpc)
+    np.testing.assert_allclose(np.asarray(exc_tgt0),
+                               np.asarray(exc_ref), atol=0.02)
+    np.testing.assert_allclose(np.asarray(pred_t0),
+                               np.asarray(pred_ref), atol=0.02)
