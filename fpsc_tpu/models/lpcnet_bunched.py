@@ -35,16 +35,15 @@ the better speed/quality point.
 
 This is a beyond-reference capability (the reference's vocoder is
 plain LPCNet, reference README.md:13-15); quality is validated against
-the unbunched model at equal training budget in
-scripts/validate_bunched.py (GRU_B 32 is the validated deployment
-width).  The quality gap vs unbunched is REGIME-DEPENDENT: 0.08
-Bark-LSD at 24 utts / 150 epochs, 0.018 at 96 utts / 400 epochs,
-but 0.16 at 192 utts when the update count stays fixed (the bunched
-model reaches BETTER teacher-forced CE yet loses more free-running
-quality as data diversity outgrows the update budget - an
-exposure-bias signature).  Training runs ~2x faster per epoch and
-sampling ~10-15% faster than unbunched, so equal-wall-time budgets
-narrow the gap; see VALIDATION.md for all three datapoints.
+the unbunched model in scripts/validate_bunched.py and
+scripts/validate_ab_wall_time.py (GRU_B 32 is the validated
+deployment width).  The quality gap vs unbunched is a CONVERGENCE
+phenomenon, not a ceiling: at 192 utterances the gap is 0.16
+Bark-LSD at equal UPDATE count, 0.060 at 600 s equal WALL time, and
+0.012 at 1200 s equal wall time (0.018 at the 96-utt converged
+budget) - the bunched model converges slower per update but ~2x
+faster per second, reaching parity once wall time allows; see
+VALIDATION.md round-3 for the full budget grid.
 """
 from __future__ import annotations
 
