@@ -167,12 +167,27 @@ _PITCH_ESCAPE = 2 * _PITCH_DELTA_RANGE            # symbol 64
 
 _VQ_CTX = 4          # stage-conditioning buckets (index >> (bits-2))
 _IND_RUN_CTX = 6     # run buckets: 0 (t=0) then bit_length(min(run,16))
+_PITCH_V_CTX = 3     # voicing buckets (prev corr code) for pitch delta
+_SCL_CTX = 8         # prev-scl value-rank buckets (energy context)
+_SCL_BL_CTX = 4      # same for the small below-threshold alphabet
 
 
 def _vq_ctx(prev_index: int, prev_size: int) -> int:
     """Coarse bucket of the previous stage's index (top 2 bits)."""
     shift = max(0, (int(prev_size) - 1).bit_length() - 2)
     return min(_VQ_CTX - 1, int(prev_index) >> shift)
+
+
+def _voicing_bucket(corr_code: int) -> int:
+    """3-bit corr code -> {unvoiced, mixed, voiced}.  Voiced pitch
+    moves by 0..2 codes per frame; unvoiced pitch jumps — separate
+    delta models keep the voiced one sharp."""
+    return 0 if corr_code <= 2 else (1 if corr_code <= 5 else 2)
+
+
+def _rank_bucket(rank: int, n: int, n_ctx: int) -> int:
+    """Value-rank of the previous symbol -> coarse energy bucket."""
+    return min(n_ctx - 1, int(rank) * n_ctx // max(n, 1))
 
 
 def _run_bucket(run: int) -> int:
@@ -194,6 +209,15 @@ def _prior_table(n: int, prior, prior_mass: int = 2048,
     return t
 
 
+def _ctx_tables(n: int, n_ctx: int, prior):
+    """Per-context adaptive tables; a 1-D prior (legacy layout) seeds
+    every context identically, a (n_ctx, n) prior seeds each."""
+    if prior is not None and np.ndim(prior) == 1:
+        return [_prior_table(n, prior) for _ in range(n_ctx)]
+    return [_prior_table(n, None if prior is None else prior[c])
+            for c in range(n_ctx)]
+
+
 def _utterance_models(sizes: Dict, static_models: Dict = None,
                       priors: Dict = None) -> Dict:
     priors = priors or {}
@@ -202,14 +226,15 @@ def _utterance_models(sizes: Dict, static_models: Dict = None,
                  for _ in range(2)],
         "ind2": [[_prior_table(2, None) for _ in range(_IND_RUN_CTX)]
                  for _ in range(2)],
-        "scl": _prior_table(sizes["scl"], priors.get("scl")),
+        "scl": _ctx_tables(sizes["scl"], _SCL_CTX, priors.get("scl")),
         "pitch_abs": FreqTable(np.ones(256)),
-        "pitch_delta": AdaptiveFreqTable(_PITCH_ESCAPE + 1),
+        "pitch_delta": [AdaptiveFreqTable(_PITCH_ESCAPE + 1)
+                        for _ in range(_PITCH_V_CTX)],
         "corr": [AdaptiveFreqTable(8) for _ in range(8)],
     }
     if sizes.get("scl_bl"):
-        m["scl_bl"] = _prior_table(sizes["scl_bl"],
-                                   priors.get("scl_bl"))
+        m["scl_bl"] = _ctx_tables(sizes["scl_bl"], _SCL_BL_CTX,
+                                  priors.get("scl_bl"))
 
     def vq_models(key, entries):
         for s, e in enumerate(entries):
@@ -247,12 +272,16 @@ class _Transcoder:
 
     def __init__(self, sizes: Dict, static_models: Dict = None,
                  priors: Dict = None, decode: bool = False,
-                 data: bytes = None, length: int = 0):
+                 data: bytes = None, length: int = 0,
+                 orders: Dict = None):
         self.sizes = sizes
         self.models = _utterance_models(sizes, static_models, priors)
         self.decode = decode
         self.coder = RangeDecoder(data) if decode else RangeEncoder()
         self.length = length
+        orders = orders or {}
+        self.scl_rank = orders.get("scl")
+        self.scl_bl_rank = orders.get("scl_bl")
         n_vq = len(sizes["vq"])
         n_vq_bl = len(sizes.get("vq_bl", []))
         if decode:
@@ -270,10 +299,16 @@ class _Transcoder:
 
     def run(self):
         models, sizes = self.models, self.sizes
+
+        def pick(m, ctx):
+            # static_models may override a context list with one table
+            return m[ctx] if isinstance(m, list) else m
+
         n_vq = len(sizes["vq"])
         n_vq_bl = len(sizes.get("vq_bl", []))
         prev_p, prev_c, prev_i1, prev_i2 = 0, 0, 0, 0
         run_i1 = run_i2 = 0
+        ctx_scl = ctx_scl_bl = 0
         for t in range(self.length):
             i1 = self._sym(models["ind1"][prev_i1][_run_bucket(run_i1)],
                            None if self.decode else self.ind1[t])
@@ -293,7 +328,9 @@ class _Transcoder:
                     p = int(self.pcodes[t, 0])
                     self.coder.encode(models["pitch_abs"], p)
             elif self.decode:
-                sym = self._sym(models["pitch_delta"], None)
+                sym = self._sym(
+                    pick(models["pitch_delta"], _voicing_bucket(prev_c)),
+                    None)
                 if sym == _PITCH_ESCAPE:
                     p = self.coder.decode(models["pitch_abs"])
                 else:
@@ -301,11 +338,12 @@ class _Transcoder:
             else:
                 p = int(self.pcodes[t, 0])
                 d = p - prev_p
+                delta_table = pick(models["pitch_delta"],
+                                   _voicing_bucket(prev_c))
                 if -_PITCH_DELTA_RANGE <= d < _PITCH_DELTA_RANGE:
-                    self._sym(models["pitch_delta"],
-                              d + _PITCH_DELTA_RANGE)
+                    self._sym(delta_table, d + _PITCH_DELTA_RANGE)
                 else:
-                    self._sym(models["pitch_delta"], _PITCH_ESCAPE)
+                    self._sym(delta_table, _PITCH_ESCAPE)
                     self.coder.encode(models["pitch_abs"], p)
             if self.decode:
                 self.pcodes[t, 0] = p
@@ -318,16 +356,23 @@ class _Transcoder:
             prev_c = c
 
             if i1:
-                v = self._sym(models["scl"],
+                v = self._sym(pick(models["scl"], ctx_scl),
                               None if self.decode else int(self.iscl[t]))
                 if self.decode:
                     self.iscl[t] = v
+                rank = v if self.scl_rank is None \
+                    else int(self.scl_rank[v])
+                ctx_scl = _rank_bucket(rank, sizes["scl"], _SCL_CTX)
             elif "scl_bl" in models:
                 v = self._sym(
-                    models["scl_bl"],
+                    pick(models["scl_bl"], ctx_scl_bl),
                     None if self.decode else int(self.iscl_bl[t]))
                 if self.decode:
                     self.iscl_bl[t] = v
+                rank = v if self.scl_bl_rank is None \
+                    else int(self.scl_bl_rank[v])
+                ctx_scl_bl = _rank_bucket(rank, sizes["scl_bl"],
+                                          _SCL_BL_CTX)
 
             def vq_stream(key, n_stages, arr, entries):
                 prev_idx = 0
@@ -351,16 +396,19 @@ class _Transcoder:
 
 def pack_utterance_rc(ind1, ind2, indices: Dict, pcodes,
                       sizes: Dict, static_models: Dict = None,
-                      priors: Dict = None) -> bytes:
+                      priors: Dict = None, orders: Dict = None) -> bytes:
     """Entropy-coded counterpart of bitstream.pack_utterance.
 
     pcodes: (L, 2) int codes from bitstream.quantize_pitch (RAW-scale
     pitch).  Returns a self-contained payload: 2-byte length header +
     range-coded body; the decoder rebuilds the identical adaptive
     models, so nothing else is transmitted.  `priors` (optional) must
-    be the same dict on both sides — see collect_priors."""
+    be the same dict on both sides — see collect_priors.  `orders`
+    (optional, also model-side): value-rank permutations of the scalar
+    codebooks ({"scl": rank, "scl_bl": rank}, see scalar_orders) so the
+    energy context buckets group codewords by VALUE, not index."""
     tc = _Transcoder(sizes, static_models, priors, decode=False,
-                     length=len(np.asarray(ind1)))
+                     length=len(np.asarray(ind1)), orders=orders)
     tc.ind1 = np.asarray(ind1).astype(int)
     tc.ind2 = np.asarray(ind2).astype(int)
     tc.iscl = np.asarray(indices["scl"])
@@ -375,34 +423,52 @@ def pack_utterance_rc(ind1, ind2, indices: Dict, pcodes,
 
 def unpack_utterance_rc(data: bytes, sizes: Dict,
                         static_models: Dict = None,
-                        priors: Dict = None) -> Dict:
+                        priors: Dict = None,
+                        orders: Dict = None) -> Dict:
     """Inverse of pack_utterance_rc; returns the bitstream.
     unpack_utterance dict layout (ind1, ind2, indices, pitch)."""
     from fpsc_tpu.codec.bitstream import dequantize_pitch
 
     length = int.from_bytes(data[:2], "big")
     tc = _Transcoder(sizes, static_models, priors, decode=True,
-                     data=data[2:], length=length).run()
+                     data=data[2:], length=length, orders=orders).run()
     return {"ind1": tc.ind1, "ind2": tc.ind2,
             "indices": {"scl": tc.iscl, "scl_bl": tc.iscl_bl,
                         "vq": tc.ivq, "vq_bl": tc.ivq_bl},
             "pitch": dequantize_pitch(tc.pcodes)}
 
 
-def collect_priors(streams, sizes: Dict) -> Dict:
+def scalar_orders(codebooks) -> Dict:
+    """Value-rank permutations of the scalar codebooks for the energy
+    context buckets (rank[i] = position of codeword i in value order).
+    Derived from the codebook artifacts, so both codec sides compute
+    the identical dict."""
+    orders = {"scl": np.argsort(np.argsort(np.asarray(codebooks.scl)))}
+    if getattr(codebooks, "scl_bl", None) is not None:
+        orders["scl_bl"] = np.argsort(
+            np.argsort(np.asarray(codebooks.scl_bl)))
+    return orders
+
+
+def collect_priors(streams, sizes: Dict, orders: Dict = None) -> Dict:
     """Accumulate training-set usage counts into the priors layout
     pack/unpack_utterance_rc expect.
 
     streams: iterable of (ind1, ind2, indices) triples (one per
     utterance; the layouts encode() / the bitstream unpackers emit).
-    Returns {scl: (n,), scl_bl: (n,), vq_0: (n0,),
-    vq_s: (_VQ_CTX, ns) for s >= 1, ...} count arrays (float64).
-    Ship them with the codebook artifacts; both codec sides must use
-    the identical dict."""
+    Returns {scl: (_SCL_CTX, n), scl_bl: (_SCL_BL_CTX, n),
+    vq_0: (n0,), vq_s: (_VQ_CTX, ns) for s >= 1, ...} count arrays
+    (float64).  Ship them with the codebook artifacts; both codec
+    sides must use the identical dict (same for `orders` — pass the
+    scalar_orders dict used at pack time)."""
+    orders = orders or {}
+    scl_rank = orders.get("scl")
+    scl_bl_rank = orders.get("scl_bl")
     pri: Dict = {}
-    pri["scl"] = np.zeros(sizes["scl"], np.float64)
+    pri["scl"] = np.zeros((_SCL_CTX, sizes["scl"]), np.float64)
     if sizes.get("scl_bl"):
-        pri["scl_bl"] = np.zeros(sizes["scl_bl"], np.float64)
+        pri["scl_bl"] = np.zeros((_SCL_BL_CTX, sizes["scl_bl"]),
+                                 np.float64)
     for s, e in enumerate(sizes["vq"]):
         pri[f"vq_{s}"] = np.zeros(
             e if s == 0 else (_VQ_CTX, e), np.float64)
@@ -429,14 +495,26 @@ def collect_priors(streams, sizes: Dict) -> Dict:
         ind1 = np.asarray(ind1).astype(bool)
         ind2 = np.asarray(ind2).astype(bool)
         iscl = np.asarray(indices["scl"])
-        for t in np.nonzero(ind1)[0]:
-            if iscl[t] >= 0:
-                pri["scl"][int(iscl[t])] += 1
-        if "scl_bl" in pri:
-            iscl_bl = np.asarray(indices["scl_bl"])
-            for t in np.nonzero(~ind1)[0]:
-                if iscl_bl[t] >= 0:
-                    pri["scl_bl"][int(iscl_bl[t])] += 1
+        iscl_bl = (np.asarray(indices["scl_bl"])
+                   if "scl_bl" in pri else None)
+        # sequential walk mirroring _Transcoder.run's context updates
+        ctx_scl = ctx_scl_bl = 0
+        for t in range(len(ind1)):
+            if ind1[t]:
+                v = int(iscl[t])
+                if v >= 0:
+                    pri["scl"][ctx_scl, v] += 1
+                    rank = v if scl_rank is None else int(scl_rank[v])
+                    ctx_scl = _rank_bucket(rank, sizes["scl"],
+                                           _SCL_CTX)
+            elif iscl_bl is not None:
+                v = int(iscl_bl[t])
+                if v >= 0:
+                    pri["scl_bl"][ctx_scl_bl, v] += 1
+                    rank = (v if scl_bl_rank is None
+                            else int(scl_bl_rank[v]))
+                    ctx_scl_bl = _rank_bucket(rank, sizes["scl_bl"],
+                                              _SCL_BL_CTX)
         add_vq("vq", indices["vq"], ind2, sizes["vq"])
         if sizes.get("vq_bl"):
             add_vq("vq_bl", indices["vq_bl"], ~ind2,

@@ -51,6 +51,9 @@ def run(cfg: Config, max_utterances: int = 1000,
         params = ckpt.restore_params(params, payload, "predictor")
     codebooks = ckpt.load_codebooks(cfg.codec.codebook_path)
     sizes = codebook_sizes(codebooks)
+    # value-rank permutations for the energy context buckets; derived
+    # from the codebook artifacts so both codec sides agree
+    orders = rc.scalar_orders(codebooks)
 
     out_dir = out_dir or os.path.join(cfg.train.save_dir,
                                       f"qtz_features_{cfg.label}")
@@ -98,7 +101,7 @@ def run(cfg: Config, max_utterances: int = 1000,
                                        pitch_raw, sizes)
             packed_rc = rc.pack_utterance_rc(
                 ind1_i, ind2_i, idx_i, bs.quantize_pitch(pitch_raw),
-                sizes)
+                sizes, orders=orders)
             bits_total += len(packed) * 8
             bits_rc_total += len(packed_rc) * 8
             frames_total += orig.shape[1]
@@ -111,15 +114,27 @@ def run(cfg: Config, max_utterances: int = 1000,
     entropies = [round(usage_entropy_bits(c), 3) for c in totals]
     bitrate = bits_total / frames_total * 100.0
     bitrate_rc = bits_rc_total / frames_total * 100.0
+    # raw symbol streams for offline entropy-model iteration (rate
+    # experiments re-pack these without re-running the encoder)
+    dump = {"n_utterances": np.int64(len(streams))}
+    for u, (i1, i2, ix, pc) in enumerate(streams):
+        dump[f"u{u}_ind1"] = np.asarray(i1)
+        dump[f"u{u}_ind2"] = np.asarray(i2)
+        dump[f"u{u}_pcodes"] = np.asarray(pc)
+        for k, v in ix.items():
+            dump[f"u{u}_idx_{k}"] = np.asarray(v)
+    np.savez(os.path.join(out_dir, "streams.npz"), **dump)
     # shared priors: training-set usage counts seeding the adaptive
     # entropy models (ride with the codebook artifacts; both codec
     # sides must hold the identical dict).  The re-packed rate below
     # is in-sample - the honest number is the held-out rate measured
     # by synthesis_qtz.run(priors=...).
     priors = rc.collect_priors(
-        [(i1, i2, ix) for i1, i2, ix, _ in streams], sizes)
+        [(i1, i2, ix) for i1, i2, ix, _ in streams], sizes,
+        orders=orders)
     bits_pri = sum(
-        len(rc.pack_utterance_rc(i1, i2, ix, pc, sizes, priors=priors))
+        len(rc.pack_utterance_rc(i1, i2, ix, pc, sizes, priors=priors,
+                                 orders=orders))
         * 8 for i1, i2, ix, pc in streams)
     bitrate_pri = bits_pri / frames_total * 100.0
     print(f"coded {done} utterances -> {out_dir}")
@@ -130,7 +145,7 @@ def run(cfg: Config, max_utterances: int = 1000,
           f"{bitrate_pri:.1f} b/s with shared priors (in-sample)")
     return {"entropies": entropies, "bitrate": bitrate,
             "bitrate_rc": bitrate_rc, "bitrate_priors": bitrate_pri,
-            "priors": priors,
+            "priors": priors, "orders": orders,
             "mse": mse_sum / mse_n, "out_dir": out_dir}
 
 

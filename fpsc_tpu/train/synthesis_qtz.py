@@ -103,11 +103,15 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
         pitch_raw = np.asarray(feat)[0, :, 18:] * scale
         if cfg.codec.entropy_coding:
             from fpsc_tpu.codec import range_coder as rcmod
+            # both sides derive the identical value-rank orders from
+            # the codebook artifacts (energy context buckets)
+            orders = rcmod.scalar_orders(codebooks)
             packed = rcmod.pack_utterance_rc(
                 ind1_np, ind2_np, idx_np, bs.quantize_pitch(pitch_raw),
-                sizes, priors=priors)
+                sizes, priors=priors, orders=orders)
             got = rcmod.unpack_utterance_rc(packed, sizes,
-                                            priors=priors)
+                                            priors=priors,
+                                            orders=orders)
         else:
             packed = bs.pack_utterance(ind1_np, ind2_np, idx_np,
                                        pitch_raw, sizes)
