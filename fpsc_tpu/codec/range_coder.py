@@ -161,6 +161,13 @@ class AdaptiveFreqTable:
 #
 # Static usage-derived tables can still override any index model via
 # `static_models`.
+#
+# Measured NEGATIVE (removed): conditioning VQ stage 0 on the
+# previous FRAME's stage-0 bucket (temporal context, 5 ctx) —
+# LOO −0.5 b/s, adaptive-only +2.3 b/s on the 16-utt lab set.  The
+# VQ codes the closed-loop predictor's RESIDUAL, which the predictor
+# has already whitened in time; there is almost no frame-to-frame
+# mutual information left for the entropy model to exploit.
 
 _PITCH_DELTA_RANGE = 32            # deltas in [-32, 31]; else escape
 _PITCH_ESCAPE = 2 * _PITCH_DELTA_RANGE            # symbol 64
@@ -221,16 +228,30 @@ def _ctx_tables(n: int, n_ctx: int, prior):
 def _utterance_models(sizes: Dict, static_models: Dict = None,
                       priors: Dict = None) -> Dict:
     priors = priors or {}
+
+    def seeded(key, n, *ctx):
+        """Nested list of prior-seeded adaptive tables; priors[key]
+        (if present) is indexed by the context tuple."""
+        p = priors.get(key)
+        if not ctx:
+            return _prior_table(n, p)
+        return [seeded_sub(key, n, p[c] if p is not None else None,
+                           ctx[1:]) for c in range(ctx[0])]
+
+    def seeded_sub(key, n, p, ctx):
+        if not ctx:
+            return _prior_table(n, p)
+        return [seeded_sub(key, n, p[c] if p is not None else None,
+                           ctx[1:]) for c in range(ctx[0])]
+
     m = {
-        "ind1": [[_prior_table(2, None) for _ in range(_IND_RUN_CTX)]
-                 for _ in range(2)],
-        "ind2": [[_prior_table(2, None) for _ in range(_IND_RUN_CTX)]
-                 for _ in range(2)],
+        "ind1": seeded("ind1", 2, 2, _IND_RUN_CTX),
+        "ind2": seeded("ind2", 2, 2, _IND_RUN_CTX),
         "scl": _ctx_tables(sizes["scl"], _SCL_CTX, priors.get("scl")),
-        "pitch_abs": FreqTable(np.ones(256)),
-        "pitch_delta": [AdaptiveFreqTable(_PITCH_ESCAPE + 1)
-                        for _ in range(_PITCH_V_CTX)],
-        "corr": [AdaptiveFreqTable(8) for _ in range(8)],
+        "pitch_abs": seeded("pitch_abs", 256),
+        "pitch_delta": seeded("pitch_delta", _PITCH_ESCAPE + 1,
+                              _PITCH_V_CTX),
+        "corr": seeded("corr", 8, 8),
     }
     if sizes.get("scl_bl"):
         m["scl_bl"] = _ctx_tables(sizes["scl_bl"], _SCL_BL_CTX,
@@ -322,17 +343,15 @@ class _Transcoder:
 
             # pitch period: delta with escape
             if t == 0:
-                if self.decode:
-                    p = self.coder.decode(models["pitch_abs"])
-                else:
-                    p = int(self.pcodes[t, 0])
-                    self.coder.encode(models["pitch_abs"], p)
+                p = self._sym(models["pitch_abs"],
+                              None if self.decode
+                              else int(self.pcodes[t, 0]))
             elif self.decode:
                 sym = self._sym(
                     pick(models["pitch_delta"], _voicing_bucket(prev_c)),
                     None)
                 if sym == _PITCH_ESCAPE:
-                    p = self.coder.decode(models["pitch_abs"])
+                    p = self._sym(models["pitch_abs"], None)
                 else:
                     p = prev_p + sym - _PITCH_DELTA_RANGE
             else:
@@ -344,7 +363,7 @@ class _Transcoder:
                     self._sym(delta_table, d + _PITCH_DELTA_RANGE)
                 else:
                     self._sym(delta_table, _PITCH_ESCAPE)
-                    self.coder.encode(models["pitch_abs"], p)
+                    self._sym(models["pitch_abs"], p)
             if self.decode:
                 self.pcodes[t, 0] = p
             prev_p = p
@@ -454,13 +473,17 @@ def collect_priors(streams, sizes: Dict, orders: Dict = None) -> Dict:
     """Accumulate training-set usage counts into the priors layout
     pack/unpack_utterance_rc expect.
 
-    streams: iterable of (ind1, ind2, indices) triples (one per
-    utterance; the layouts encode() / the bitstream unpackers emit).
+    streams: iterable of (ind1, ind2, indices) triples — or
+    (ind1, ind2, indices, pcodes) 4-tuples, which additionally seed
+    the indicator / pitch / corr models (one per utterance; the
+    layouts encode() / the bitstream unpackers emit).
     Returns {scl: (_SCL_CTX, n), scl_bl: (_SCL_BL_CTX, n),
-    vq_0: (n0,), vq_s: (_VQ_CTX, ns) for s >= 1, ...} count arrays
-    (float64).  Ship them with the codebook artifacts; both codec
-    sides must use the identical dict (same for `orders` — pass the
-    scalar_orders dict used at pack time)."""
+    vq_0: (n0,), vq_s: (_VQ_CTX, ns) for s >= 1, ind1/ind2:
+    (2, _IND_RUN_CTX, 2), pitch_abs: (256,), pitch_delta:
+    (_PITCH_V_CTX, 65), corr: (8, 8), ...} count arrays (float64).
+    Ship them with the codebook artifacts; both codec sides must use
+    the identical dict (same for `orders` — pass the scalar_orders
+    dict used at pack time)."""
     orders = orders or {}
     scl_rank = orders.get("scl")
     scl_bl_rank = orders.get("scl_bl")
@@ -491,9 +514,41 @@ def collect_priors(streams, sizes: Dict, orders: Dict = None) -> Dict:
                         _vq_ctx(prev, entries[s - 1]), v] += 1
                 prev = v
 
-    for ind1, ind2, indices in streams:
+    for item in streams:
+        ind1, ind2, indices = item[:3]
+        pcodes = item[3] if len(item) > 3 else None
         ind1 = np.asarray(ind1).astype(bool)
         ind2 = np.asarray(ind2).astype(bool)
+        if pcodes is not None:
+            for key, arr in (("ind1", ind1), ("ind2", ind2)):
+                tab = pri.setdefault(
+                    key, np.zeros((2, _IND_RUN_CTX, 2), np.float64))
+                prev, run = 0, 0
+                for t, v in enumerate(arr.astype(int)):
+                    tab[prev, _run_bucket(run), v] += 1
+                    run = run + 1 if (t > 0 and v == prev) else 1
+                    prev = v
+            pa = pri.setdefault("pitch_abs", np.zeros(256, np.float64))
+            pd = pri.setdefault(
+                "pitch_delta",
+                np.zeros((_PITCH_V_CTX, _PITCH_ESCAPE + 1), np.float64))
+            cr = pri.setdefault("corr", np.zeros((8, 8), np.float64))
+            pc = np.asarray(pcodes)
+            prev_p, prev_c = 0, 0
+            for t in range(len(pc)):
+                p, c = int(pc[t, 0]), int(pc[t, 1])
+                if t == 0:
+                    pa[p] += 1
+                else:
+                    d = p - prev_p
+                    vb = _voicing_bucket(prev_c)
+                    if -_PITCH_DELTA_RANGE <= d < _PITCH_DELTA_RANGE:
+                        pd[vb, d + _PITCH_DELTA_RANGE] += 1
+                    else:
+                        pd[vb, _PITCH_ESCAPE] += 1
+                        pa[p] += 1
+                cr[prev_c, c] += 1
+                prev_p, prev_c = p, c
         iscl = np.asarray(indices["scl"])
         iscl_bl = (np.asarray(indices["scl_bl"])
                    if "scl_bl" in pri else None)

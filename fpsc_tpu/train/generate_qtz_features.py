@@ -129,9 +129,7 @@ def run(cfg: Config, max_utterances: int = 1000,
     # sides must hold the identical dict).  The re-packed rate below
     # is in-sample - the honest number is the held-out rate measured
     # by synthesis_qtz.run(priors=...).
-    priors = rc.collect_priors(
-        [(i1, i2, ix) for i1, i2, ix, _ in streams], sizes,
-        orders=orders)
+    priors = rc.collect_priors(streams, sizes, orders=orders)
     bits_pri = sum(
         len(rc.pack_utterance_rc(i1, i2, ix, pc, sizes, priors=priors,
                                  orders=orders))

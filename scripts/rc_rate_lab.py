@@ -39,7 +39,7 @@ def load_streams(path):
 
 def rate(streams, sizes, orders, priors_mode):
     bits = frames = 0
-    trips = [(i1, i2, ix) for i1, i2, ix, _ in streams]
+    trips = streams
     full = rc.collect_priors(trips, sizes, orders=orders)
     for u, (i1, i2, ix, pc) in enumerate(streams):
         if priors_mode == "none":
