@@ -149,6 +149,11 @@ class AdaptiveFreqTable:
 # * the two indicator bits conditioned on (previous value, run-length
 #   bucket) — long same-value runs sharpen the prediction beyond the
 #   order-1 model,
+# * the scalar gain indices factorised in VALUE-rank space as
+#   (bucket | previous bucket) + (offset | bucket) — order-1 chain
+#   power with tables small enough to generalise held-out (the gain
+#   track is smooth; a full (ctx, n) table and a plain rank-delta
+#   both measured worse LOO, see VALIDATION.md round 3),
 # * VQ stage s >= 1 conditioned on a coarse _VQ_CTX-bucket hash of the
 #   stage s-1 index (the residual stages are statistically coupled;
 #   the reference only *prints* per-stage usage entropies,
@@ -175,8 +180,26 @@ _PITCH_ESCAPE = 2 * _PITCH_DELTA_RANGE            # symbol 64
 _VQ_CTX = 4          # stage-conditioning buckets (index >> (bits-2))
 _IND_RUN_CTX = 6     # run buckets: 0 (t=0) then bit_length(min(run,16))
 _PITCH_V_CTX = 3     # voicing buckets (prev corr code) for pitch delta
-_SCL_CTX = 8         # prev-scl value-rank buckets (energy context)
-_SCL_BL_CTX = 4      # same for the small below-threshold alphabet
+_SCL_NB = 8          # rank-space bucket count for the scalar chain
+
+
+def _scl_split(n: int):
+    """Factorise an n-entry scalar book (rank space) into
+    (n_buckets, offset_size): rank = bucket * off + offset.  The
+    bucket stream is coded with an order-1 chain (prev bucket or
+    start), the offset conditioned on its own bucket — order-1
+    modelling power with tiny tables that still generalise held-out
+    (a full (ctx, n) table overfits the priors; a plain rank-delta
+    under-models the conditional — both measured, see VALIDATION.md).
+    Bucket counts were swept on the lab streams (LOO): nb=4 for
+    books of <= 16 entries, nb=8 above (16 buckets overfits both;
+    a full prev-symbol order-1 chain for n=16 measured worse)."""
+    n = int(n)
+    nb = 4 if n <= 16 else _SCL_NB
+    while nb > 1 and n % nb:
+        nb //= 2
+    nb = min(nb, n)
+    return nb, max(1, n // nb)
 
 
 def _vq_ctx(prev_index: int, prev_size: int) -> int:
@@ -190,11 +213,6 @@ def _voicing_bucket(corr_code: int) -> int:
     moves by 0..2 codes per frame; unvoiced pitch jumps — separate
     delta models keep the voiced one sharp."""
     return 0 if corr_code <= 2 else (1 if corr_code <= 5 else 2)
-
-
-def _rank_bucket(rank: int, n: int, n_ctx: int) -> int:
-    """Value-rank of the previous symbol -> coarse energy bucket."""
-    return min(n_ctx - 1, int(rank) * n_ctx // max(n, 1))
 
 
 def _run_bucket(run: int) -> int:
@@ -214,15 +232,6 @@ def _prior_table(n: int, prior, prior_mass: int = 2048,
         t.counts = 1 + scaled
         t._rebuild()
     return t
-
-
-def _ctx_tables(n: int, n_ctx: int, prior):
-    """Per-context adaptive tables; a 1-D prior (legacy layout) seeds
-    every context identically, a (n_ctx, n) prior seeds each."""
-    if prior is not None and np.ndim(prior) == 1:
-        return [_prior_table(n, prior) for _ in range(n_ctx)]
-    return [_prior_table(n, None if prior is None else prior[c])
-            for c in range(n_ctx)]
 
 
 def _utterance_models(sizes: Dict, static_models: Dict = None,
@@ -247,15 +256,19 @@ def _utterance_models(sizes: Dict, static_models: Dict = None,
     m = {
         "ind1": seeded("ind1", 2, 2, _IND_RUN_CTX),
         "ind2": seeded("ind2", 2, 2, _IND_RUN_CTX),
-        "scl": _ctx_tables(sizes["scl"], _SCL_CTX, priors.get("scl")),
+        "scl_bucket": seeded("scl_bucket", _scl_split(sizes["scl"])[0],
+                             _scl_split(sizes["scl"])[0] + 1),
+        "scl_offset": seeded("scl_offset", _scl_split(sizes["scl"])[1],
+                             _scl_split(sizes["scl"])[0]),
         "pitch_abs": seeded("pitch_abs", 256),
         "pitch_delta": seeded("pitch_delta", _PITCH_ESCAPE + 1,
                               _PITCH_V_CTX),
         "corr": seeded("corr", 8, 8),
     }
     if sizes.get("scl_bl"):
-        m["scl_bl"] = _ctx_tables(sizes["scl_bl"], _SCL_BL_CTX,
-                                  priors.get("scl_bl"))
+        nb, off = _scl_split(sizes["scl_bl"])
+        m["scl_bl_bucket"] = seeded("scl_bl_bucket", nb, nb + 1)
+        m["scl_bl_offset"] = seeded("scl_bl_offset", off, nb)
 
     def vq_models(key, entries):
         for s, e in enumerate(entries):
@@ -303,6 +316,10 @@ class _Transcoder:
         orders = orders or {}
         self.scl_rank = orders.get("scl")
         self.scl_bl_rank = orders.get("scl_bl")
+        self.scl_inv = (None if self.scl_rank is None
+                        else np.argsort(self.scl_rank))
+        self.scl_bl_inv = (None if self.scl_bl_rank is None
+                           else np.argsort(self.scl_bl_rank))
         n_vq = len(sizes["vq"])
         n_vq_bl = len(sizes.get("vq_bl", []))
         if decode:
@@ -318,6 +335,32 @@ class _Transcoder:
     def _sym(self, table, value) -> int:
         return _code_adaptive(self.coder, table, value, self.decode)
 
+    def _chain_sym(self, key, value_rank, prev_bucket: int, nb: int,
+                   off: int) -> int:
+        """Code/decode a scalar symbol in rank space as
+        (bucket | prev bucket) + (offset | bucket) — see _scl_split.
+        prev_bucket == nb means "no previous symbol".  Returns the
+        coded rank."""
+        m = self.models
+        btab = m[f"{key}_bucket"]
+        if isinstance(btab, list):
+            btab = btab[prev_bucket]
+        if self.decode:
+            b = self._sym(btab, None)
+            o = 0
+            if off > 1:
+                otab = m[f"{key}_offset"]
+                o = self._sym(otab[b] if isinstance(otab, list)
+                              else otab, None)
+            return b * off + o
+        r = int(value_rank)
+        b, o = divmod(r, off)
+        self._sym(btab, b)
+        if off > 1:
+            otab = m[f"{key}_offset"]
+            self._sym(otab[b] if isinstance(otab, list) else otab, o)
+        return r
+
     def run(self):
         models, sizes = self.models, self.sizes
 
@@ -329,7 +372,9 @@ class _Transcoder:
         n_vq_bl = len(sizes.get("vq_bl", []))
         prev_p, prev_c, prev_i1, prev_i2 = 0, 0, 0, 0
         run_i1 = run_i2 = 0
-        ctx_scl = ctx_scl_bl = 0
+        nb_scl, off_scl = _scl_split(sizes["scl"])
+        nb_bl, off_bl = _scl_split(sizes.get("scl_bl", 0) or 1)
+        pb_scl, pb_bl = nb_scl, nb_bl     # "no previous" contexts
         for t in range(self.length):
             i1 = self._sym(models["ind1"][prev_i1][_run_bucket(run_i1)],
                            None if self.decode else self.ind1[t])
@@ -375,23 +420,23 @@ class _Transcoder:
             prev_c = c
 
             if i1:
-                v = self._sym(pick(models["scl"], ctx_scl),
-                              None if self.decode else int(self.iscl[t]))
+                r = None if self.decode else (
+                    int(self.iscl[t]) if self.scl_rank is None
+                    else int(self.scl_rank[int(self.iscl[t])]))
+                r = self._chain_sym("scl", r, pb_scl, nb_scl, off_scl)
                 if self.decode:
-                    self.iscl[t] = v
-                rank = v if self.scl_rank is None \
-                    else int(self.scl_rank[v])
-                ctx_scl = _rank_bucket(rank, sizes["scl"], _SCL_CTX)
-            elif "scl_bl" in models:
-                v = self._sym(
-                    pick(models["scl_bl"], ctx_scl_bl),
-                    None if self.decode else int(self.iscl_bl[t]))
+                    self.iscl[t] = (r if self.scl_inv is None
+                                    else int(self.scl_inv[r]))
+                pb_scl = r // off_scl
+            elif "scl_bl_bucket" in models:
+                r = None if self.decode else (
+                    int(self.iscl_bl[t]) if self.scl_bl_rank is None
+                    else int(self.scl_bl_rank[int(self.iscl_bl[t])]))
+                r = self._chain_sym("scl_bl", r, pb_bl, nb_bl, off_bl)
                 if self.decode:
-                    self.iscl_bl[t] = v
-                rank = v if self.scl_bl_rank is None \
-                    else int(self.scl_bl_rank[v])
-                ctx_scl_bl = _rank_bucket(rank, sizes["scl_bl"],
-                                          _SCL_BL_CTX)
+                    self.iscl_bl[t] = (r if self.scl_bl_inv is None
+                                       else int(self.scl_bl_inv[r]))
+                pb_bl = r // off_bl
 
             def vq_stream(key, n_stages, arr, entries):
                 prev_idx = 0
@@ -425,7 +470,7 @@ def pack_utterance_rc(ind1, ind2, indices: Dict, pcodes,
     be the same dict on both sides — see collect_priors.  `orders`
     (optional, also model-side): value-rank permutations of the scalar
     codebooks ({"scl": rank, "scl_bl": rank}, see scalar_orders) so the
-    energy context buckets group codewords by VALUE, not index."""
+    scalar delta models run in VALUE-rank space, not index space."""
     tc = _Transcoder(sizes, static_models, priors, decode=False,
                      length=len(np.asarray(ind1)), orders=orders)
     tc.ind1 = np.asarray(ind1).astype(int)
@@ -458,8 +503,8 @@ def unpack_utterance_rc(data: bytes, sizes: Dict,
 
 
 def scalar_orders(codebooks) -> Dict:
-    """Value-rank permutations of the scalar codebooks for the energy
-    context buckets (rank[i] = position of codeword i in value order).
+    """Value-rank permutations of the scalar codebooks for the scalar
+    delta models (rank[i] = position of codeword i in value order).
     Derived from the codebook artifacts, so both codec sides compute
     the identical dict."""
     orders = {"scl": np.argsort(np.argsort(np.asarray(codebooks.scl)))}
@@ -477,21 +522,25 @@ def collect_priors(streams, sizes: Dict, orders: Dict = None) -> Dict:
     (ind1, ind2, indices, pcodes) 4-tuples, which additionally seed
     the indicator / pitch / corr models (one per utterance; the
     layouts encode() / the bitstream unpackers emit).
-    Returns {scl: (_SCL_CTX, n), scl_bl: (_SCL_BL_CTX, n),
-    vq_0: (n0,), vq_s: (_VQ_CTX, ns) for s >= 1, ind1/ind2:
-    (2, _IND_RUN_CTX, 2), pitch_abs: (256,), pitch_delta:
-    (_PITCH_V_CTX, 65), corr: (8, 8), ...} count arrays (float64).
+    Returns {scl_bucket: (nb+1, nb), scl_offset: (nb, off) in RANK
+    space (same for scl_bl_*), vq_0: (n0,), vq_s: (_VQ_CTX, ns) for
+    s >= 1, ind1/ind2: (2, _IND_RUN_CTX, 2), pitch_abs: (256,),
+    pitch_delta: (_PITCH_V_CTX, 65), corr: (8, 8), ...} count arrays
+    (float64).
     Ship them with the codebook artifacts; both codec sides must use
     the identical dict (same for `orders` — pass the scalar_orders
     dict used at pack time)."""
     orders = orders or {}
     scl_rank = orders.get("scl")
     scl_bl_rank = orders.get("scl_bl")
+    nb_scl, off_scl = _scl_split(sizes["scl"])
+    nb_bl, off_bl = _scl_split(sizes.get("scl_bl", 0) or 1)
     pri: Dict = {}
-    pri["scl"] = np.zeros((_SCL_CTX, sizes["scl"]), np.float64)
+    pri["scl_bucket"] = np.zeros((nb_scl + 1, nb_scl), np.float64)
+    pri["scl_offset"] = np.zeros((nb_scl, off_scl), np.float64)
     if sizes.get("scl_bl"):
-        pri["scl_bl"] = np.zeros((_SCL_BL_CTX, sizes["scl_bl"]),
-                                 np.float64)
+        pri["scl_bl_bucket"] = np.zeros((nb_bl + 1, nb_bl), np.float64)
+        pri["scl_bl_offset"] = np.zeros((nb_bl, off_bl), np.float64)
     for s, e in enumerate(sizes["vq"]):
         pri[f"vq_{s}"] = np.zeros(
             e if s == 0 else (_VQ_CTX, e), np.float64)
@@ -551,25 +600,27 @@ def collect_priors(streams, sizes: Dict, orders: Dict = None) -> Dict:
                 prev_p, prev_c = p, c
         iscl = np.asarray(indices["scl"])
         iscl_bl = (np.asarray(indices["scl_bl"])
-                   if "scl_bl" in pri else None)
-        # sequential walk mirroring _Transcoder.run's context updates
-        ctx_scl = ctx_scl_bl = 0
+                   if "scl_bl_bucket" in pri else None)
+
+        def add_scl(key, v, rank, pb, nb, off):
+            r = int(v) if rank is None else int(rank[int(v)])
+            b, o = divmod(r, off)
+            pri[f"{key}_bucket"][pb, b] += 1
+            if off > 1:
+                pri[f"{key}_offset"][b, o] += 1
+            return b
+
+        # sequential walk mirroring _Transcoder.run's bucket chains
+        pb_scl, pb_bl = nb_scl, nb_bl
         for t in range(len(ind1)):
             if ind1[t]:
-                v = int(iscl[t])
-                if v >= 0:
-                    pri["scl"][ctx_scl, v] += 1
-                    rank = v if scl_rank is None else int(scl_rank[v])
-                    ctx_scl = _rank_bucket(rank, sizes["scl"],
-                                           _SCL_CTX)
+                if int(iscl[t]) >= 0:
+                    pb_scl = add_scl("scl", iscl[t], scl_rank,
+                                     pb_scl, nb_scl, off_scl)
             elif iscl_bl is not None:
-                v = int(iscl_bl[t])
-                if v >= 0:
-                    pri["scl_bl"][ctx_scl_bl, v] += 1
-                    rank = (v if scl_bl_rank is None
-                            else int(scl_bl_rank[v]))
-                    ctx_scl_bl = _rank_bucket(rank, sizes["scl_bl"],
-                                              _SCL_BL_CTX)
+                if int(iscl_bl[t]) >= 0:
+                    pb_bl = add_scl("scl_bl", iscl_bl[t],
+                                    scl_bl_rank, pb_bl, nb_bl, off_bl)
         add_vq("vq", indices["vq"], ind2, sizes["vq"])
         if sizes.get("vq_bl"):
             add_vq("vq_bl", indices["vq_bl"], ~ind2,
