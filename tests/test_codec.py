@@ -224,11 +224,13 @@ def test_bitstream_fuzz_random_geometries():
         n_vq = rng.randint(1, 4)
         n_vq_bl = rng.randint(0, 3)
         sizes = {
-            "scl": int(rng.choice([4, 16, 256])),
-            "scl_bl": int(rng.choice([0, 4, 16])),
-            "vq": [int(rng.choice([8, 64, 1024]))
+            # incl. non-power-of-two sizes: the scalar bucket-chain
+            # split and the VQ context hash must handle them
+            "scl": int(rng.choice([4, 12, 16, 256])),
+            "scl_bl": int(rng.choice([0, 4, 6, 16])),
+            "vq": [int(rng.choice([8, 64, 96, 1024]))
                    for _ in range(n_vq)],
-            "vq_bl": [int(rng.choice([8, 512]))
+            "vq_bl": [int(rng.choice([8, 48, 512]))
                       for _ in range(n_vq_bl)],
         }
         length = rng.randint(1, 40)
@@ -264,8 +266,20 @@ def test_bitstream_fuzz_random_geometries():
         packed_pri = rc.pack_utterance_rc(ind1, ind2, idx, pcodes,
                                           sizes, priors=pri)
         got_pri = rc.unpack_utterance_rc(packed_pri, sizes, priors=pri)
+        # with RANDOM value-rank orders + full 4-tuple priors (pitch /
+        # indicator / corr tables seeded too) — arbitrary codebook
+        # orderings must round-trip identically on both sides
+        orders = {"scl": rng.permutation(sizes["scl"])}
+        if sizes["scl_bl"]:
+            orders["scl_bl"] = rng.permutation(sizes["scl_bl"])
+        pri4 = rc.collect_priors([(ind1, ind2, idx, pcodes)], sizes,
+                                 orders=orders)
+        packed_o = rc.pack_utterance_rc(ind1, ind2, idx, pcodes, sizes,
+                                        priors=pri4, orders=orders)
+        got_o = rc.unpack_utterance_rc(packed_o, sizes, priors=pri4,
+                                       orders=orders)
 
-        for g in (got, got_rc, got_pri):
+        for g in (got, got_rc, got_pri, got_o):
             np.testing.assert_array_equal(g["ind1"], ind1, err_msg=str(trial))
             np.testing.assert_array_equal(g["ind2"], ind2)
             np.testing.assert_array_equal(
