@@ -68,9 +68,15 @@ class RangeEncoder:
         return bytes(self.out)
 
 
+class NeedBytes(Exception):
+    """Raised by a strict-mode RangeDecoder when it runs out of input
+    mid-symbol (streaming: the caller pushes more bytes and retries)."""
+
+
 class RangeDecoder:
-    def __init__(self, data: bytes):
+    def __init__(self, data, strict: bool = False):
         self.data = data
+        self.strict = strict
         self.pos = 0
         self.low = 0
         self.range = 0xFFFFFFFF
@@ -79,7 +85,12 @@ class RangeDecoder:
             self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFF
 
     def _byte(self) -> int:
-        b = self.data[self.pos] if self.pos < len(self.data) else 0
+        if self.pos < len(self.data):
+            b = self.data[self.pos]
+        elif self.strict:
+            raise NeedBytes(self.pos)
+        else:
+            b = 0           # offline decode pads past the final flush
         self.pos += 1
         return b
 
@@ -331,6 +342,7 @@ class _Transcoder:
             self.ivq_bl = np.full((length, max(n_vq_bl, 1)), -1,
                                   np.int32)
             self.pcodes = np.zeros((length, 2), np.int64)
+        self._init_state()
 
     def _sym(self, table, value) -> int:
         return _code_adaptive(self.coder, table, value, self.decode)
@@ -361,101 +373,142 @@ class _Transcoder:
             self._sym(otab[b] if isinstance(otab, list) else otab, o)
         return r
 
-    def run(self):
-        models, sizes = self.models, self.sizes
+    def _init_state(self):
+        nb_scl, off_scl = _scl_split(self.sizes["scl"])
+        nb_bl, off_bl = _scl_split(self.sizes.get("scl_bl", 0) or 1)
+        # cross-frame model-context state; a plain dict so streaming
+        # decoders can snapshot/restore it around speculative frames
+        self._st = {"prev_p": 0, "prev_c": 0, "prev_i1": 0,
+                    "prev_i2": 0, "run_i1": 0, "run_i2": 0,
+                    "pb_scl": nb_scl, "pb_bl": nb_bl}
+        self._split = (nb_scl, off_scl, nb_bl, off_bl)
+
+    def step(self, t: int):
+        """Transcode ONE frame (all of its symbol streams), advancing
+        the cross-frame context state.  Frame t's arrays must already
+        exist (encode: caller-filled; decode: writable placeholders)."""
+        models, sizes, st = self.models, self.sizes, self._st
+        nb_scl, off_scl, nb_bl, off_bl = self._split
 
         def pick(m, ctx):
             # static_models may override a context list with one table
             return m[ctx] if isinstance(m, list) else m
 
-        n_vq = len(sizes["vq"])
-        n_vq_bl = len(sizes.get("vq_bl", []))
-        prev_p, prev_c, prev_i1, prev_i2 = 0, 0, 0, 0
-        run_i1 = run_i2 = 0
-        nb_scl, off_scl = _scl_split(sizes["scl"])
-        nb_bl, off_bl = _scl_split(sizes.get("scl_bl", 0) or 1)
-        pb_scl, pb_bl = nb_scl, nb_bl     # "no previous" contexts
+        i1 = self._sym(models["ind1"][st["prev_i1"]]
+                       [_run_bucket(st["run_i1"])],
+                       None if self.decode else self.ind1[t])
+        i2 = self._sym(models["ind2"][st["prev_i2"]]
+                       [_run_bucket(st["run_i2"])],
+                       None if self.decode else self.ind2[t])
+        st["run_i1"] = st["run_i1"] + 1 if (
+            t > 0 and i1 == st["prev_i1"]) else 1
+        st["run_i2"] = st["run_i2"] + 1 if (
+            t > 0 and i2 == st["prev_i2"]) else 1
+        if self.decode:
+            self.ind1[t], self.ind2[t] = bool(i1), bool(i2)
+        st["prev_i1"], st["prev_i2"] = i1, i2
+
+        # pitch period: delta with escape
+        if t == 0:
+            p = self._sym(models["pitch_abs"],
+                          None if self.decode
+                          else int(self.pcodes[t][0]))
+        elif self.decode:
+            sym = self._sym(
+                pick(models["pitch_delta"],
+                     _voicing_bucket(st["prev_c"])), None)
+            if sym == _PITCH_ESCAPE:
+                p = self._sym(models["pitch_abs"], None)
+            else:
+                p = st["prev_p"] + sym - _PITCH_DELTA_RANGE
+        else:
+            p = int(self.pcodes[t][0])
+            d = p - st["prev_p"]
+            delta_table = pick(models["pitch_delta"],
+                               _voicing_bucket(st["prev_c"]))
+            if -_PITCH_DELTA_RANGE <= d < _PITCH_DELTA_RANGE:
+                self._sym(delta_table, d + _PITCH_DELTA_RANGE)
+            else:
+                self._sym(delta_table, _PITCH_ESCAPE)
+                self._sym(models["pitch_abs"], p)
+        if self.decode:
+            self.pcodes[t][0] = p
+        st["prev_p"] = p
+
+        c = self._sym(models["corr"][st["prev_c"]],
+                      None if self.decode else int(self.pcodes[t][1]))
+        if self.decode:
+            self.pcodes[t][1] = c
+        st["prev_c"] = c
+
+        if i1:
+            r = None if self.decode else (
+                int(self.iscl[t]) if self.scl_rank is None
+                else int(self.scl_rank[int(self.iscl[t])]))
+            r = self._chain_sym("scl", r, st["pb_scl"], nb_scl, off_scl)
+            if self.decode:
+                self.iscl[t] = (r if self.scl_inv is None
+                                else int(self.scl_inv[r]))
+            st["pb_scl"] = r // off_scl
+        elif "scl_bl_bucket" in models:
+            r = None if self.decode else (
+                int(self.iscl_bl[t]) if self.scl_bl_rank is None
+                else int(self.scl_bl_rank[int(self.iscl_bl[t])]))
+            r = self._chain_sym("scl_bl", r, st["pb_bl"], nb_bl, off_bl)
+            if self.decode:
+                self.iscl_bl[t] = (r if self.scl_bl_inv is None
+                                   else int(self.scl_bl_inv[r]))
+            st["pb_bl"] = r // off_bl
+
+        def vq_stream(key, n_stages, arr, entries):
+            prev_idx = 0
+            for s in range(n_stages):
+                model = models[f"{key}_{s}"]
+                if s > 0:
+                    model = model[_vq_ctx(prev_idx, entries[s - 1])]
+                v = self._sym(model,
+                              None if self.decode else int(arr[t][s]))
+                if self.decode:
+                    arr[t][s] = v
+                prev_idx = v
+
+        if i2:
+            vq_stream("vq", len(sizes["vq"]), self.ivq, sizes["vq"])
+        else:
+            vq_stream("vq_bl", len(sizes.get("vq_bl", [])),
+                      self.ivq_bl, sizes.get("vq_bl", []))
+
+    def run(self):
         for t in range(self.length):
-            i1 = self._sym(models["ind1"][prev_i1][_run_bucket(run_i1)],
-                           None if self.decode else self.ind1[t])
-            i2 = self._sym(models["ind2"][prev_i2][_run_bucket(run_i2)],
-                           None if self.decode else self.ind2[t])
-            run_i1 = run_i1 + 1 if (t > 0 and i1 == prev_i1) else 1
-            run_i2 = run_i2 + 1 if (t > 0 and i2 == prev_i2) else 1
-            if self.decode:
-                self.ind1[t], self.ind2[t] = bool(i1), bool(i2)
-            prev_i1, prev_i2 = i1, i2
-
-            # pitch period: delta with escape
-            if t == 0:
-                p = self._sym(models["pitch_abs"],
-                              None if self.decode
-                              else int(self.pcodes[t, 0]))
-            elif self.decode:
-                sym = self._sym(
-                    pick(models["pitch_delta"], _voicing_bucket(prev_c)),
-                    None)
-                if sym == _PITCH_ESCAPE:
-                    p = self._sym(models["pitch_abs"], None)
-                else:
-                    p = prev_p + sym - _PITCH_DELTA_RANGE
-            else:
-                p = int(self.pcodes[t, 0])
-                d = p - prev_p
-                delta_table = pick(models["pitch_delta"],
-                                   _voicing_bucket(prev_c))
-                if -_PITCH_DELTA_RANGE <= d < _PITCH_DELTA_RANGE:
-                    self._sym(delta_table, d + _PITCH_DELTA_RANGE)
-                else:
-                    self._sym(delta_table, _PITCH_ESCAPE)
-                    self._sym(models["pitch_abs"], p)
-            if self.decode:
-                self.pcodes[t, 0] = p
-            prev_p = p
-
-            c = self._sym(models["corr"][prev_c],
-                          None if self.decode else int(self.pcodes[t, 1]))
-            if self.decode:
-                self.pcodes[t, 1] = c
-            prev_c = c
-
-            if i1:
-                r = None if self.decode else (
-                    int(self.iscl[t]) if self.scl_rank is None
-                    else int(self.scl_rank[int(self.iscl[t])]))
-                r = self._chain_sym("scl", r, pb_scl, nb_scl, off_scl)
-                if self.decode:
-                    self.iscl[t] = (r if self.scl_inv is None
-                                    else int(self.scl_inv[r]))
-                pb_scl = r // off_scl
-            elif "scl_bl_bucket" in models:
-                r = None if self.decode else (
-                    int(self.iscl_bl[t]) if self.scl_bl_rank is None
-                    else int(self.scl_bl_rank[int(self.iscl_bl[t])]))
-                r = self._chain_sym("scl_bl", r, pb_bl, nb_bl, off_bl)
-                if self.decode:
-                    self.iscl_bl[t] = (r if self.scl_bl_inv is None
-                                       else int(self.scl_bl_inv[r]))
-                pb_bl = r // off_bl
-
-            def vq_stream(key, n_stages, arr, entries):
-                prev_idx = 0
-                for s in range(n_stages):
-                    model = models[f"{key}_{s}"]
-                    if s > 0:
-                        model = model[_vq_ctx(prev_idx, entries[s - 1])]
-                    v = self._sym(model,
-                                  None if self.decode else int(arr[t, s]))
-                    if self.decode:
-                        arr[t, s] = v
-                    prev_idx = v
-
-            if i2:
-                vq_stream("vq", n_vq, self.ivq, sizes["vq"])
-            else:
-                vq_stream("vq_bl", n_vq_bl, self.ivq_bl,
-                          sizes.get("vq_bl", []))
+            self.step(t)
         return self
+
+    def _snapshot(self):
+        """Capture coder position + every adaptive table + context
+        state, so a streaming decoder can speculatively attempt a
+        frame and roll back on NeedBytes."""
+        c = self.coder
+        tabs = []
+
+        def walk(x):
+            if isinstance(x, AdaptiveFreqTable):
+                tabs.append((x, x.counts.copy()))
+            elif isinstance(x, list):
+                for y in x:
+                    walk(y)
+
+        for v in self.models.values():
+            walk(v)
+        return (c.pos, c.low, c.range, c.code, tabs, dict(self._st))
+
+    def _restore(self, snap):
+        pos, low, rng, code, tabs, st = snap
+        c = self.coder
+        c.pos, c.low, c.range, c.code = pos, low, rng, code
+        for tab, counts in tabs:
+            tab.counts = counts
+            tab._rebuild()
+        self._st = st
 
 
 def pack_utterance_rc(ind1, ind2, indices: Dict, pcodes,
@@ -500,6 +553,136 @@ def unpack_utterance_rc(data: bytes, sizes: Dict,
             "indices": {"scl": tc.iscl, "scl_bl": tc.iscl_bl,
                         "vq": tc.ivq, "vq_bl": tc.ivq_bl},
             "pitch": dequantize_pitch(tc.pcodes)}
+
+
+class StreamingRangeEncoder:
+    """Frame-by-frame entropy ENCODER over the pack_utterance_rc
+    format (no length header; the byte stream is open-ended).
+
+    Bytes are emitted as the internal range coder renormalises — no
+    per-frame flush — so the rate is IDENTICAL to the offline packer
+    body; the matching StreamingRangeDecoder runs at most the coder's
+    4-byte pipeline behind the encoder (~1 frame at codec rates).
+    Call push_frame per 10 ms frame (returns the newly available
+    bytes, often b"") and finish() once at end of stream (the only
+    flush, 4 bytes).  The reference has no streaming bitstream at
+    all; this serves the StreamingCodec serving path
+    (codec/streaming.py), whose classes exchange raw symbol rows."""
+
+    def __init__(self, sizes: Dict, priors: Dict = None,
+                 orders: Dict = None, static_models: Dict = None):
+        self._tc = _Transcoder(sizes, static_models, priors,
+                               decode=False, orders=orders)
+        tc = self._tc
+        tc.ind1, tc.ind2 = [], []
+        tc.iscl, tc.iscl_bl = [], []
+        tc.ivq, tc.ivq_bl, tc.pcodes = [], [], []
+        self._t = 0
+        self._drained = 0
+
+    def push_frame(self, ind1, ind2, indices_row: Dict,
+                   pcode_row) -> bytes:
+        """indices_row: {scl, scl_bl, vq (S,), vq_bl (S',)} ints for
+        ONE frame (-1 where the stream is not coded); pcode_row: the
+        (2,) quantize_pitch codes."""
+        tc = self._tc
+        tc.ind1.append(int(bool(ind1)))
+        tc.ind2.append(int(bool(ind2)))
+        tc.iscl.append(int(indices_row.get("scl", -1)))
+        tc.iscl_bl.append(int(indices_row.get("scl_bl", -1)))
+        tc.ivq.append([int(x) for x in
+                       np.atleast_1d(indices_row.get("vq", [-1]))])
+        tc.ivq_bl.append([int(x) for x in
+                          np.atleast_1d(indices_row.get("vq_bl",
+                                                        [-1]))])
+        tc.pcodes.append([int(pcode_row[0]), int(pcode_row[1])])
+        tc.step(self._t)
+        self._t += 1
+        return self._drain()
+
+    def _drain(self) -> bytes:
+        out = bytes(self._tc.coder.out[self._drained:])
+        self._drained = len(self._tc.coder.out)
+        return out
+
+    def finish(self) -> bytes:
+        self._tc.coder.finish()
+        return self._drain()
+
+
+class StreamingRangeDecoder:
+    """Frame-by-frame entropy DECODER matching StreamingRangeEncoder.
+
+    push_bytes() appends transport bytes (final=True after the
+    encoder's finish()); pull_frame() returns the next decoded frame
+    dict {ind1, ind2, indices, pcodes} or None when more bytes are
+    needed.  A frame is attempted speculatively: on NeedBytes every
+    adaptive table and the coder position roll back, so symbol
+    streams and model state stay bit-identical to the offline
+    decoder's."""
+
+    def __init__(self, sizes: Dict, priors: Dict = None,
+                 orders: Dict = None, static_models: Dict = None):
+        self._sizes = sizes
+        self._args = (static_models, priors, orders)
+        self._buf = bytearray()
+        self._final = False
+        self._tc = None
+        self._t = 0
+
+    def push_bytes(self, data: bytes, final: bool = False):
+        self._buf += data
+        if final:
+            self._final = True
+            if self._tc is not None:
+                self._tc.coder.strict = False
+
+    def _ensure_tc(self) -> bool:
+        if self._tc is not None:
+            return True
+        if len(self._buf) < 4 and not self._final:
+            return False
+        static_models, priors, orders = self._args
+        tc = _Transcoder(self._sizes, static_models, priors,
+                         decode=True, orders=orders, data=b"",
+                         length=0)
+        tc.coder = RangeDecoder(self._buf, strict=not self._final)
+        tc.ind1, tc.ind2 = [], []
+        tc.iscl, tc.iscl_bl = [], []
+        tc.ivq, tc.ivq_bl, tc.pcodes = [], [], []
+        self._tc = tc
+        return True
+
+    def pull_frame(self):
+        if not self._ensure_tc():
+            return None
+        tc = self._tc
+        n_vq = max(len(self._sizes["vq"]), 1)
+        n_vq_bl = max(len(self._sizes.get("vq_bl", [])), 1)
+        tc.ind1.append(False)
+        tc.ind2.append(False)
+        tc.iscl.append(-1)
+        tc.iscl_bl.append(-1)
+        tc.ivq.append([-1] * n_vq)
+        tc.ivq_bl.append([-1] * n_vq_bl)
+        tc.pcodes.append([0, 0])
+        snap = tc._snapshot()
+        try:
+            tc.step(self._t)
+        except NeedBytes:
+            tc._restore(snap)
+            for arr in (tc.ind1, tc.ind2, tc.iscl, tc.iscl_bl,
+                        tc.ivq, tc.ivq_bl, tc.pcodes):
+                arr.pop()
+            return None
+        t = self._t
+        self._t += 1
+        return {"ind1": bool(tc.ind1[t]), "ind2": bool(tc.ind2[t]),
+                "indices": {"scl": tc.iscl[t],
+                            "scl_bl": tc.iscl_bl[t],
+                            "vq": np.asarray(tc.ivq[t]),
+                            "vq_bl": np.asarray(tc.ivq_bl[t])},
+                "pcodes": np.asarray(tc.pcodes[t])}
 
 
 def scalar_orders(codebooks) -> Dict:

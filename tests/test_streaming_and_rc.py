@@ -346,3 +346,81 @@ def test_fused_streaming_codec_batched(setup):
     assert out["audio"].shape == (3, 160)
     assert np.isfinite(out["audio"]).all()
     assert not np.array_equal(out["audio"][0], out["audio"][1])
+
+
+def test_streaming_range_coder_lockstep_matches_offline():
+    """StreamingRangeEncoder/Decoder in lockstep over randomized
+    symbol streams: the decoder reconstructs every frame exactly, the
+    concatenated streaming bytes EQUAL the offline pack_utterance_rc
+    body (no per-frame flush overhead), and the decoder's lag behind
+    the encoder stays within the coder's 4-byte pipeline."""
+    from fpsc_tpu.codec import bitstream as bs
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        sizes = {"scl": 256, "scl_bl": 16,
+                 "vq": [64, 64], "vq_bl": [64]}
+        length = rng.randint(20, 60)
+        ind1 = rng.rand(length) < 0.3
+        ind2 = rng.rand(length) < 0.4
+        idx = {
+            "scl": np.where(ind1, rng.randint(256, size=length), -1),
+            "scl_bl": np.where(~ind1, rng.randint(16, size=length), -1),
+            "vq": np.stack([np.where(ind2, rng.randint(64, size=length),
+                                     -1) for _ in range(2)], 1),
+            "vq_bl": np.where(~ind2, rng.randint(64, size=length),
+                              -1)[:, None],
+        }
+        pitch = np.stack([
+            (rng.randint(32, 288, length) - 100.0) / 50.0,
+            rng.uniform(-0.5, 0.4, length)], 1)
+        pcodes = bs.quantize_pitch(pitch)
+        orders = {"scl": rng.permutation(256),
+                  "scl_bl": rng.permutation(16)}
+        pri = rc.collect_priors([(ind1, ind2, idx, pcodes)], sizes,
+                                orders=orders)
+
+        enc = rc.StreamingRangeEncoder(sizes, priors=pri, orders=orders)
+        dec = rc.StreamingRangeDecoder(sizes, priors=pri, orders=orders)
+        got, stream, max_lag = [], b"", 0
+        for t in range(length):
+            row = {k: (idx[k][t] if idx[k].ndim == 1 else idx[k][t])
+                   for k in idx}
+            chunk = enc.push_frame(ind1[t], ind2[t], row, pcodes[t])
+            stream += chunk
+            dec.push_bytes(chunk)
+            while True:
+                f = dec.pull_frame()
+                if f is None:
+                    break
+                got.append(f)
+            max_lag = max(max_lag, (t + 1) - len(got))
+        tail = enc.finish()
+        stream += tail
+        dec.push_bytes(tail, final=True)
+        while len(got) < length:
+            f = dec.pull_frame()
+            assert f is not None
+            got.append(f)
+
+        # bit-exactness vs the offline packer (header + same body)
+        offline = rc.pack_utterance_rc(ind1, ind2, idx, pcodes, sizes,
+                                       priors=pri, orders=orders)
+        assert offline[2:] == stream, trial
+        # the decoder never falls more than a few frames behind
+        assert max_lag <= 4, max_lag
+
+        for t in range(length):
+            f = got[t]
+            assert f["ind1"] == ind1[t] and f["ind2"] == ind2[t]
+            if ind1[t]:
+                assert f["indices"]["scl"] == idx["scl"][t]
+            else:
+                assert f["indices"]["scl_bl"] == idx["scl_bl"][t]
+            if ind2[t]:
+                np.testing.assert_array_equal(f["indices"]["vq"],
+                                              idx["vq"][t])
+            else:
+                np.testing.assert_array_equal(f["indices"]["vq_bl"],
+                                              idx["vq_bl"][t])
+            np.testing.assert_array_equal(f["pcodes"], pcodes[t])
