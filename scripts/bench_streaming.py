@@ -83,6 +83,35 @@ def main(n_frames: int = 50):
         dt_f = bench_stage("StreamingCodec (fused)",
                            lambda t: fused.process_frame(feat[:, t]),
                            n_frames, batch)
+
+        # host-side streaming ENTROPY layer (range_coder.Streaming*):
+        # one independent codec per stream, pure numpy — runs on the
+        # host CPU concurrently with the device tick, so its budget
+        # is the same 10 ms wall
+        from fpsc_tpu.codec import range_coder as rc
+        sizes = {"scl": 256, "scl_bl": 16, "vq": [1024, 1024],
+                 "vq_bl": [512]}
+        rencs = [rc.StreamingRangeEncoder(sizes) for _ in range(batch)]
+        rdecs = [rc.StreamingRangeDecoder(sizes) for _ in range(batch)]
+        i1s = rng.rand(n_frames, batch) < 0.1
+        i2s = rng.rand(n_frames, batch) < 0.3
+        rows = [[{"scl": rng.randint(256) if i1s[t, b] else -1,
+                  "scl_bl": -1 if i1s[t, b] else rng.randint(16),
+                  "vq": rng.randint(1024, size=2) if i2s[t, b]
+                  else [-1, -1],
+                  "vq_bl": [rng.randint(512)] if not i2s[t, b]
+                  else [-1]}
+                 for b in range(batch)] for t in range(n_frames)]
+        pcs = rng.randint(0, 250, size=(n_frames, batch, 2))
+        pcs[..., 1] = np.minimum(pcs[..., 1] % 8, 7)
+
+        def rc_tick(t):
+            for b in range(batch):
+                chunk = rencs[b].push_frame(
+                    i1s[t, b], i2s[t, b], rows[t][b], pcs[t, b])
+                rdecs[b].push_bytes(chunk)
+                rdecs[b].pull_frame()
+        bench_stage("entropy enc+dec (host)", rc_tick, n_frames, batch)
         results[batch] = (dt_e, dt_d, dt_v, total, dt_f)
     return results
 
