@@ -81,17 +81,17 @@ def main():
     bpattern = derive_block_pattern(bparams.base.gru_a.wh, (64, 64))
     rtf_bunched = measure(bparams, bpattern)
 
-    # bunch=4 (one recurrent step per FOUR samples): ~2370-2420x
-    # measured but costs 0.19 Bark-LSD at the 96-utt budget at its
-    # best width (GRU_B 64: LSD 0.704 vs bunch=2's 0.534) - reported
-    # for information, NOT part of the quality-verified headline
-    # (VALIDATION.md)
+    # bunch=4 (one recurrent step per FOUR samples): quality-verified
+    # at GRU_B 64 with noise-injection training (Bark-LSD 0.600 vs
+    # bunch=2's 0.589 under the same recipe — +0.010, scripts/
+    # validate_bunch4_recovery.py), so it is part of the headline max
+    # since round 3 (VALIDATION.md).
     b4cfg = lpcnet.LPCNetConfig(gru_b_units=64)
     b4params = lpcnet_bunched.init_bunched4(jax.random.PRNGKey(0),
                                             b4cfg)
     rtf_b4 = measure(b4params)
 
-    rtf = max(rtf_dense, rtf_sparse, rtf_bunched)
+    rtf = max(rtf_dense, rtf_sparse, rtf_bunched, rtf_b4)
     print(json.dumps({
         "metric": "lpcnet_synthesis_aggregate_rtf",
         "value": round(rtf, 1),
@@ -100,7 +100,7 @@ def main():
         "dense_rtf": round(rtf_dense, 1),
         "sparse_rtf_d0.2": round(rtf_sparse, 1),
         "bunched_sparse_rtf": round(rtf_bunched, 1),
-        "bunch4_rtf_quality_tradeoff": round(rtf_b4, 1),
+        "bunch4_rtf": round(rtf_b4, 1),
     }))
 
 
