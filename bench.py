@@ -91,6 +91,31 @@ def main():
                                             b4cfg)
     rtf_b4 = measure(b4params)
 
+    # encoder-side RTF (closed-loop scan with in-scan m-best VQ over
+    # the production 256+1024x2/16+512 books) — the chain is
+    # vocoder-bound, so this is reported as an extra, not the headline
+    from fpsc_tpu.codec.codec import encode
+    from fpsc_tpu.models import frame_predictor as fp
+
+    fparams = fp.init_frame_predictor(jax.random.PRNGKey(0))
+    cbs = fp.Codebooks(
+        scl=jnp.asarray(np.sort(rng.randn(256).astype(np.float32))),
+        vq=(jnp.asarray(rng.randn(1024, 17).astype(np.float32) * .1),
+            jnp.asarray(rng.randn(1024, 17).astype(np.float32) * .05)),
+        scl_bl=jnp.asarray(np.sort(
+            rng.randn(16).astype(np.float32) * .02)),
+        vq_bl=(jnp.asarray(
+            rng.randn(512, 17).astype(np.float32) * .02),),
+    )
+    enc_sum = jax.jit(lambda p, c, f: jnp.sum(encode(p, c, f)["coded"]))
+    float(enc_sum(fparams, cbs, feat))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(enc_sum(fparams, cbs, feat))
+        times.append(time.perf_counter() - t0)
+    rtf_enc = batch * seconds / min(times)
+
     rtf = max(rtf_dense, rtf_sparse, rtf_bunched, rtf_b4)
     print(json.dumps({
         "metric": "lpcnet_synthesis_aggregate_rtf",
@@ -101,6 +126,7 @@ def main():
         "sparse_rtf_d0.2": round(rtf_sparse, 1),
         "bunched_sparse_rtf": round(rtf_bunched, 1),
         "bunch4_rtf": round(rtf_b4, 1),
+        "encode_rtf": round(rtf_enc, 1),
     }))
 
 
