@@ -25,7 +25,7 @@ OUT = "/tmp/fpsc_flagship"
 
 
 def main(pred_epochs: int = 400, voc_epochs: int = 400,
-         style: str = "speech"):
+         style: str = "speech", noise: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -88,6 +88,7 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
         "lpcnet.gru_a_density=0.2",
         "lpcnet.sparsify_start=200",
         f"lpcnet.sparsify_end={voc_epochs * 4}",
+        f"lpcnet.noise_levels={noise}",
     ])
     t0 = time.time()
     voc_params, ce = train_lpcnet.run(cfg_v)
@@ -137,4 +138,5 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
          int(sys.argv[2]) if len(sys.argv) > 2 else 400,
-         sys.argv[3] if len(sys.argv) > 3 else "speech")
+         sys.argv[3] if len(sys.argv) > 3 else "speech",
+         int(sys.argv[4]) if len(sys.argv) > 4 else 0)

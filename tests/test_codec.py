@@ -296,3 +296,45 @@ def test_bitstream_fuzz_random_geometries():
             # pitch decodes through the same 8+3-bit codes
             np.testing.assert_array_equal(
                 bs.quantize_pitch(np.asarray(g["pitch"])), pcodes)
+
+
+def test_rate_control_curve_and_selection(setup):
+    """measure_operating_points must produce a monotone
+    rate-vs-threshold-scale curve with distortion moving the other
+    way (the discriminative-threshold R-D knob the reference fixes at
+    one point), and select_scale must interpolate it."""
+    from fpsc_tpu.codec import rate_control as rcctl
+    params, _, _ = setup
+    # production-SIZE books (random entries are fine: the R-D knob is
+    # the ~28-bit above-threshold vs ~13-bit below-threshold cost per
+    # frame) and streams long enough that per-utterance coder
+    # overhead does not dominate
+    r = np.random.RandomState(9)
+    codebooks = fp.Codebooks(
+        scl=jnp.asarray(np.sort(r.randn(256)).astype(np.float32) * .1),
+        vq=(jnp.asarray(r.randn(1024, 17).astype(np.float32) * .1),
+            jnp.asarray(r.randn(1024, 17).astype(np.float32) * .03)),
+        scl_bl=jnp.asarray(np.sort(
+            r.randn(16)).astype(np.float32) * .02),
+        vq_bl=(jnp.asarray(r.randn(512, 17).astype(np.float32) * .02),),
+    )
+    feat = (np.random.RandomState(3).randn(2, 200, 20) * 0.3
+            ).astype(np.float32)
+    points = rcctl.measure_operating_points(
+        params, codebooks, feat, scales=(0.5, 1.0, 2.0, 4.0))
+    rates = [p["bps"] for p in points]
+    mses = [p["mse"] for p in points]
+    # raising both thresholds transmits fewer fine symbols
+    assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+    # and costs distortion (weakly monotone)
+    assert mses[0] <= mses[-1], mses
+    assert rates[0] > rates[-1], rates
+
+    mid = 0.5 * (rates[1] + rates[2])
+    sel = rcctl.select_scale(points, mid)
+    assert points[1]["scale"] <= sel["scale"] <= points[2]["scale"]
+    assert sel["l1"] / 0.09 == pytest.approx(sel["scale"])
+    lo = rcctl.select_scale(points, rates[-1] * 0.5)
+    assert lo["scale"] == points[-1]["scale"]
+    hi = rcctl.select_scale(points, rates[0] * 2.0)
+    assert hi["scale"] == points[0]["scale"]
