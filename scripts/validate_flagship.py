@@ -9,10 +9,18 @@ block-sparsity ramp to 0.2 density - synthesising through the fused
 kernel's bunch=2 + static-block-sparse path (the bench.py headline
 configuration, quality-checked here on decoded features).
 
-    python scripts/validate_flagship.py [pred_epochs] [voc_epochs] [style]
+    python scripts/validate_flagship.py [pred_epochs] [voc_epochs] [style] [noise]
 
 style defaults to "speech"; pass "speech_hard" for the multi-speaker +
 additive-noise stress regime (round-2 verdict item 10).
+
+noise (mu-law noise-injection levels during vocoder training) defaults
+to 2 — the production recipe: at the converged 96-utt budget the
+noise-trained bunched vocoder decodes to Bark-LSD 0.540 vs 0.616
+clean (measured 2026-08, same 400-epoch vocoder budget).  Pass 0 for
+the clean arm; at SHORT budgets (e.g. the 600 s equal-wall-time A/B)
+noise injection trains slower per epoch and measures negative — see
+VALIDATION.md round 3.
 """
 import sys
 import time
@@ -25,7 +33,7 @@ OUT = "/tmp/fpsc_flagship"
 
 
 def main(pred_epochs: int = 400, voc_epochs: int = 400,
-         style: str = "speech", noise: int = 0):
+         style: str = "speech", noise: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -122,10 +130,10 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
         lsds.append(log_spectral_distance(truth[:len(y)], y))
         slsds.append(stft_log_spectral_distance(truth[:len(y)], y))
         rates.append(results[ns]["bitrate"])
-    noise = np.random.RandomState(0).randn(len(truth)).astype(
+    noise_sig = np.random.RandomState(0).randn(len(truth)).astype(
         np.float32) * truth.std()
-    lsd_n = log_spectral_distance(truth, noise)
-    slsd_n = stft_log_spectral_distance(truth, noise)
+    lsd_n = log_spectral_distance(truth, noise_sig)
+    slsd_n = stft_log_spectral_distance(truth, noise_sig)
     print(f"decoded-audio Bark-LSD {np.mean(lsds):.3f} "
           f"(noise {lsd_n:.3f}); STFT-LSD {np.mean(slsds):.2f} dB "
           f"(noise {slsd_n:.2f}); entropy-coded bitrate "
@@ -139,4 +147,4 @@ if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
          int(sys.argv[2]) if len(sys.argv) > 2 else 400,
          sys.argv[3] if len(sys.argv) > 3 else "speech",
-         int(sys.argv[4]) if len(sys.argv) > 4 else 0)
+         int(sys.argv[4]) if len(sys.argv) > 4 else 2)
