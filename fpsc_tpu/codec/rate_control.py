@@ -1,24 +1,34 @@
-"""Rate control: threshold operating points and target-bitrate
-selection.
+"""Rate control: measured R-D operating points and target-bitrate
+presets.
 
 The reference ships ONE operating point (l1=0.09, l2=0.28 —
-README.md:24-27, the paper's ~2 kb/s configuration); the thresholds
-that split the prediction residual into coded/skipped streams ARE the
-codec's rate knob, but the reference offers no way to pick them for a
-target rate.  Here:
+README.md:24-27, the paper's ~2 kb/s configuration) and offers no way
+to hit a different rate.  Measured at the trained flagship point, the
+thresholds alone are a WEAK rate knob (scaling them 0.5x-3.5x moves
+the entropy-coded rate only 1368-1442 b/s: most frames already sit
+below threshold and the always-on streams — below-threshold VQ,
+gains, pitch — dominate the budget).  Real rate authority comes from
+the CODEBOOK-SUBSET presets, all decodable from the same trained
+artifacts with no retraining:
 
+* preset_codebooks() derives reduced codebooks (drop the 2nd
+  above-threshold VQ stage and/or the whole below-threshold VQ —
+  the ~440 b/s dominant stream); the closed-loop encoder re-tracks
+  the coarser reconstruction, and every pack/unpack layer already
+  parameterises by the `sizes` dict, so the preset id is all a
+  decoder needs.
 * measure_operating_points() encodes a calibration batch at a grid of
-  threshold SCALES (l1, l2 scaled together — raising both transmits
-  fewer frames), entropy-packs every utterance (shared priors
-  collected per point, as deployed), and returns the measured
-  (scale, b/s, coded-feature MSE) rate-distortion curve.
-* select_scale() log-interpolates the monotone rate curve to hit a
-  target bitrate, returning the (l1, l2) to deploy.  Each deployed
-  point ships its own priors dict, exactly like the codebooks.
-
-Rates are measured with the REAL packer (range coder incl. pitch), so
-per-utterance header/flush costs and model adaptation are included —
-not an entropy estimate.
+  threshold SCALES for one codebook set, entropy-packs every
+  utterance with the REAL coder (shared priors collected per point,
+  as deployed), returning measured (scale, b/s, coded-feature MSE)
+  points — header/flush costs and model adaptation included, not an
+  entropy estimate.  With the below-threshold VQ dropped the
+  threshold knob regains authority (it sets the fraction of frames
+  riding the expensive fine path).
+* measure_rd_surface() sweeps presets x scales; pareto_frontier()
+  keeps the non-dominated points; select_preset() picks the
+  best-quality frontier point within a target bitrate.  select_scale()
+  still interpolates within a single preset's monotone curve.
 """
 from __future__ import annotations
 
@@ -32,6 +42,30 @@ from fpsc_tpu.codec import bitstream as bs
 from fpsc_tpu.codec import range_coder as rc
 from fpsc_tpu.codec.codec import encode
 from fpsc_tpu.dsp import constants as C
+from fpsc_tpu.models import frame_predictor as fp
+
+# codebook-subset presets, richest first.  vq_stages = above-threshold
+# VQ stages kept; vq_bl = keep the below-threshold VQ stream.
+PRESETS: Dict[str, Dict] = {
+    "full":   {"vq_stages": None, "vq_bl": True},
+    "vq1":    {"vq_stages": 1,    "vq_bl": True},
+    "novqbl": {"vq_stages": None, "vq_bl": False},
+    "lean":   {"vq_stages": 1,    "vq_bl": False},
+}
+
+
+def preset_codebooks(codebooks: fp.Codebooks, vq_stages=None,
+                     vq_bl: bool = True) -> fp.Codebooks:
+    """Derive a reduced codebook set from the trained artifacts.
+
+    The scalar gains are always kept (they carry the envelope); only
+    vector stages are dropped.  The result plugs into encode/decode/
+    pack/unpack unchanged — the bitstream layout follows the sizes
+    dict derived from whatever books are present."""
+    vq = codebooks.vq if vq_stages is None else codebooks.vq[:vq_stages]
+    return fp.Codebooks(
+        scl=codebooks.scl, vq=tuple(vq), scl_bl=codebooks.scl_bl,
+        vq_bl=codebooks.vq_bl if vq_bl else None)
 
 
 def _streams_for(enc: Dict, feat: np.ndarray, pitch_scale: float):
@@ -52,7 +86,8 @@ def measure_operating_points(params, codebooks, feat,
                              scales: Sequence[float] = (
                                  0.5, 0.75, 1.0, 1.5, 2.25, 3.5),
                              l1: float = 0.09, l2: float = 0.28,
-                             normalized: bool = True) -> List[Dict]:
+                             normalized: bool = True,
+                             preset: str = "full") -> List[Dict]:
     """feat: (B, L, 36-or-20) calibration frames (normalised when
     `normalized`).  Returns one dict per scale: {scale, l1, l2, bps,
     mse, priors, orders} with bps = mean entropy-coded rate over the
@@ -90,10 +125,57 @@ def measure_operating_points(params, codebooks, feat,
         coded = np.asarray(enc["coded"])
         mse = float(np.mean(
             (coded[..., :18] - feat_np[..., :18]) ** 2))
-        points.append({"scale": float(s), "l1": l1 * s, "l2": l2 * s,
+        points.append({"preset": preset, "scale": float(s),
+                       "l1": l1 * s, "l2": l2 * s,
                        "bps": bits / frames * 100.0, "mse": mse,
-                       "priors": priors, "orders": orders})
+                       "priors": priors, "orders": orders,
+                       "sizes": sizes})
     return points
+
+
+def measure_rd_surface(params, codebooks, feat,
+                       presets: Dict[str, Dict] = PRESETS,
+                       scales: Sequence[float] = (
+                           0.35, 0.5, 0.75, 1.0, 1.5, 2.25),
+                       l1: float = 0.09, l2: float = 0.28,
+                       normalized: bool = True) -> List[Dict]:
+    """Sweep presets x threshold scales on a calibration batch.
+
+    Sub-1 scales are included deliberately: once the below-threshold
+    VQ is dropped, LOWERING the thresholds routes more frames through
+    the fine above-threshold path, so the scale knob spans real rate
+    within each reduced preset.  Returns the flat point list (each
+    point carries its preset name + sizes dict + priors)."""
+    points = []
+    for name, spec in presets.items():
+        cbs = preset_codebooks(codebooks, **spec)
+        points.extend(measure_operating_points(
+            params, cbs, feat, scales=scales, l1=l1, l2=l2,
+            normalized=normalized, preset=name))
+    return points
+
+
+def pareto_frontier(points: List[Dict]) -> List[Dict]:
+    """Non-dominated subset (no other point has <= bps AND <= mse
+    with one strict), sorted by ascending bps."""
+    pts = sorted(points, key=lambda p: (p["bps"], p["mse"]))
+    out: List[Dict] = []
+    best_mse = np.inf
+    for p in pts:
+        if p["mse"] < best_mse - 1e-12:
+            out.append(p)
+            best_mse = p["mse"]
+    return out
+
+
+def select_preset(points: List[Dict], target_bps: float) -> Dict:
+    """Best-quality frontier point whose measured rate fits within
+    target_bps; below the measured range, the lowest-rate point.
+    The returned dict is a deployable operating point: preset name,
+    thresholds, sizes, and the calibration priors."""
+    front = pareto_frontier(points)
+    fits = [p for p in front if p["bps"] <= target_bps]
+    return fits[-1] if fits else front[0]
 
 
 def select_scale(points: List[Dict], target_bps: float) -> Dict:

@@ -338,3 +338,64 @@ def test_rate_control_curve_and_selection(setup):
     assert lo["scale"] == points[-1]["scale"]
     hi = rcctl.select_scale(points, rates[0] * 2.0)
     assert hi["scale"] == points[0]["scale"]
+
+
+def test_rate_control_presets_invert_and_pack(setup):
+    """Codebook-subset presets (the codec's real rate levers) must
+    keep every contract: exact encode->decode inversion with reduced
+    books, and bit-exact range-coder roundtrips under the reduced
+    sizes dict."""
+    from fpsc_tpu.codec import range_coder as rc
+    from fpsc_tpu.codec import rate_control as rcctl
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    params, cbs, feat = setup
+    for name, spec in rcctl.PRESETS.items():
+        red = rcctl.preset_codebooks(cbs, **spec)
+        if spec["vq_stages"] == 1:
+            assert len(red.vq) == 1
+        if not spec["vq_bl"]:
+            assert red.vq_bl is None
+        enc = encode(params, red, jnp.asarray(feat))
+        dec = decode(params, red, enc["ind1"], enc["ind2"],
+                     enc["indices"], jnp.asarray(feat[..., 18:]))
+        np.testing.assert_allclose(
+            np.asarray(dec), np.asarray(enc["coded"]),
+            rtol=1e-5, atol=1e-6, err_msg=name)
+        sizes = codebook_sizes(red)
+        orders = rc.scalar_orders(red)
+        ind1 = np.asarray(enc["ind1"])[0]
+        ind2 = np.asarray(enc["ind2"])[0]
+        row = {k: np.asarray(v)[0] for k, v in enc["indices"].items()}
+        pcodes = bs.quantize_pitch(feat[0, :, 18:] * 24.1)
+        payload = rc.pack_utterance_rc(ind1, ind2, row, pcodes, sizes,
+                                       orders=orders)
+        un = rc.unpack_utterance_rc(payload, sizes, orders=orders)
+        np.testing.assert_array_equal(un["ind1"], ind1, err_msg=name)
+        np.testing.assert_array_equal(un["ind2"], ind2, err_msg=name)
+        for k in ("scl", "scl_bl", "vq", "vq_bl"):
+            if sizes.get(k) in ([], 0):
+                continue
+            got = np.asarray(un["indices"][k])
+            np.testing.assert_array_equal(
+                got.reshape(row[k].shape), row[k],
+                err_msg=f"{name}:{k}")
+
+
+def test_rate_control_frontier_and_preset_selection():
+    """pareto_frontier keeps exactly the non-dominated points;
+    select_preset returns the best-quality point within budget and
+    degrades to the cheapest point when the target is unreachable."""
+    from fpsc_tpu.codec import rate_control as rcctl
+    pts = [
+        {"preset": "a", "scale": 1.0, "bps": 800.0, "mse": 1e-3},
+        {"preset": "a", "scale": 0.5, "bps": 1000.0, "mse": 5e-4},
+        {"preset": "b", "scale": 1.0, "bps": 1000.0, "mse": 7e-4},
+        {"preset": "b", "scale": 0.5, "bps": 1200.0, "mse": 6e-4},
+        {"preset": "c", "scale": 1.0, "bps": 1400.0, "mse": 2e-4},
+    ]
+    front = rcctl.pareto_frontier(pts)
+    assert [(p["bps"], p["mse"]) for p in front] == [
+        (800.0, 1e-3), (1000.0, 5e-4), (1400.0, 2e-4)]
+    assert rcctl.select_preset(pts, 1300.0)["bps"] == 1000.0
+    assert rcctl.select_preset(pts, 1400.0)["bps"] == 1400.0
+    assert rcctl.select_preset(pts, 500.0)["bps"] == 800.0
