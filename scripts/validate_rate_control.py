@@ -191,6 +191,72 @@ def main(label=None, epoch=None):
     by_rate = sorted(achieved, key=lambda t: t[2])
     for a, b in zip(by_rate, by_rate[1:]):
         assert a[3] >= b[3] - 1e-7, (a[:1] + a[2:], b[:1] + b[2:])
+
+    # --- 3. decoded-AUDIO quality per preset through the saved
+    # flagship vocoder (trained once on full-preset coded features;
+    # the reduced presets shift its input distribution — the point of
+    # measuring in the listening domain) ---
+    voc_dir = os.path.join(OUT, f"{label}_voc_s")
+    if not os.path.isdir(voc_dir):
+        print("no saved vocoder — skipping audio R-D section",
+              flush=True)
+        print("RATE CONTROL VALIDATION PASSED", flush=True)
+        return
+    print("=== 3. decoded-audio Bark-LSD per preset (saved vocoder) "
+          "===", flush=True)
+    from fpsc_tpu.dsp.ceps2lpc import ceps2lpc
+    from fpsc_tpu.dsp.emphasis import deemphasis
+    from fpsc_tpu.eval.metrics import log_spectral_distance
+    from fpsc_tpu.models import lpcnet, lpcnet_bunched
+    from fpsc_tpu.ops.lpcnet_sampler import (auto_block_pattern,
+                                             pallas_generate)
+
+    vep = max(int(m.group(1)) for f in glob.glob(
+        os.path.join(voc_dir, "*.ckpt"))
+        if (m := re.search(r"_(\d+)\.ckpt$", f)))
+    lcfg = lpcnet.LPCNetConfig(gru_b_units=32)
+    voc = lpcnet_bunched.init_bunched(jax.random.PRNGKey(0), lcfg)
+    vpayload = ckpt.load(ckpt.checkpoint_path(
+        OUT, f"{label}_voc_s", vep))
+    voc = ckpt.restore_params(voc, vpayload, "vocoder (bunch=2)")
+    pat = auto_block_pattern(voc)
+
+    truth = [deemphasis(val["x"][i]) for i in range(3)]
+    lsd_rows = []
+    for tgt, sel, bps, mse, err in achieved:
+        cbs = rcctl.preset_codebooks(
+            codebooks, **rcctl.PRESETS[sel["preset"]])
+        enc = encode(params, cbs, jnp.asarray(feat_val[:3]),
+                     l1=sel["l1"], l2=sel["l2"])
+        coded = np.asarray(enc["coded"])
+        coded_un = coded * pitch_scale
+        periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
+                   ).astype(np.int32)
+        _, lpc, _ = ceps2lpc(jnp.asarray(
+            coded_un.reshape(-1, 20)[:, :18]))
+        lpc = np.asarray(lpc).reshape(coded_un.shape[0], -1, 16)
+        y = np.asarray(pallas_generate(
+            voc, jnp.asarray(coded), jnp.asarray(periods),
+            jnp.asarray(lpc), jax.random.PRNGKey(7),
+            corr=jnp.asarray(coded_un[..., 19]), gru_a_pattern=pat))
+        lsds = []
+        for i in range(3):
+            n = min(len(truth[i]), y.shape[1])
+            lsds.append(log_spectral_distance(truth[i][:n], y[i, :n]))
+        lsd_rows.append((sel, bps, float(np.mean(lsds))))
+        print(f"  {sel['preset']:7s} scale {sel['scale']:4.2f}  "
+              f"{bps:7.1f} b/s  Bark-LSD {np.mean(lsds):.3f}",
+              flush=True)
+    noise_sig = np.random.RandomState(0).randn(
+        len(truth[0])).astype(np.float32) * truth[0].std()
+    lsd_n = log_spectral_distance(truth[0], noise_sig)
+    print(f"  (noise floor {lsd_n:.3f})", flush=True)
+    # every preset must beat the noise floor decisively, and the
+    # richest preset must be at least as good as the leanest
+    for sel, bps, lsd in lsd_rows:
+        assert lsd < 0.7 * lsd_n, (sel["preset"], lsd, lsd_n)
+    by_rate = sorted(lsd_rows, key=lambda t: t[1])
+    assert by_rate[-1][2] <= by_rate[0][2] + 0.05, lsd_rows
     print("RATE CONTROL VALIDATION PASSED", flush=True)
 
 
