@@ -4,9 +4,17 @@ The batch codec (fpsc_tpu.codec.codec) processes whole utterances as
 scans; serving needs a 10 ms-frame streaming loop with persistent
 state.  These classes wrap jitted single-frame steps:
 
+  StreamingFrontend.process_block(160 PCM samples) -> feat20 row
   StreamingEncoder.encode_frame(feat20) -> per-frame symbols
   StreamingDecoder.decode_frame(symbols' residual, pitch) -> coded frame
   StreamingVocoder.synthesize_frame(coded frame) -> 160 samples
+
+StreamingCodec fuses the full-duplex loop into ONE compiled program
+per 10 ms tick — from features (process_frame) or, with
+from_pcm=True, from RAW microphone PCM (process_pcm: analysis
+frontend -> encode -> decode -> synthesize, one dispatch round trip
+end to end; the analysis window's one-block lookahead means tick k
+codes frame k-1).
 
 State (GRU carries, previous coded frame, vocoder sample history) lives
 on-device between calls; each call is one compiled program.  The
@@ -63,6 +71,66 @@ def _split_symbols(p, n_vq: int, n_vq_bl: int):
         },
     }
     return out, 24 + s + sb
+
+
+def _frontend_step(preemph: float = 0.85):
+    """Pure per-block analysis: (state, pcm (B, 160) RAW samples) ->
+    (state, feat (B, 20) normalised [ceps|pitch]).
+
+    State is (ring (B, 576) pre-emphasised history, last_raw (B,)).
+    The 320-sample analysis window of frame t spans [160t, 160t+320),
+    i.e. one block of LOOKAHEAD: the tick that receives block k emits
+    frame k-1 (10 ms algorithmic latency, standard for this window).
+    After block k the ring holds pre-emphasised samples
+    [160(k+1)-576, 160(k+1)) — exactly frame k-1's pitch context in
+    dsp/frontend.estimate_pitch_jnp (the batch path), so per-frame
+    features match the batch extractor frame-for-frame; the (B, 576)
+    ring IS a correlation slab (`_slab_corr_table` batches over its
+    leading axis either way).  Tick 0's output is a warmup frame
+    (half-filled window) — callers discard it."""
+    from fpsc_tpu.dsp import frontend as fe
+
+    def step(state, pcm_rows):
+        ring, last_raw = state
+        prev = jnp.concatenate([last_raw[:, None], pcm_rows[:, :-1]],
+                               axis=1)
+        y = pcm_rows - jnp.float32(preemph) * prev
+        ring = jnp.concatenate([ring[:, C.FRAME_SIZE:], y], axis=1)
+        ceps = fe.frames_to_cepstra(ring[:, -C.WINDOW_SIZE:])
+        pitch = fe._pitch_from_corr_table(fe._slab_corr_table(ring))
+        feat = jnp.concatenate([ceps, pitch], axis=1) / C.MAXI
+        return (ring, pcm_rows[:, -1]), feat
+
+    return step
+
+
+class StreamingFrontend:
+    """On-device streaming analysis: 10 ms PCM blocks in, normalised
+    [ceps|pitch] feature rows out, batched over independent streams.
+    Completes the serving chain's input side (the batch counterpart is
+    dsp/frontend.extract_features)."""
+
+    def __init__(self, preemph: float = 0.85, batch: int = 1):
+        self.batch = batch
+        self.reset()
+        self._step = jax.jit(_frontend_step(preemph))
+
+    def reset(self):
+        b = self.batch
+        from fpsc_tpu.dsp.frontend import PITCH_MAX
+        self.state = (
+            jnp.zeros((b, PITCH_MAX + C.WINDOW_SIZE)),
+            jnp.zeros((b,)),
+        )
+
+    def process_block(self, pcm_rows: np.ndarray) -> np.ndarray:
+        """pcm_rows (160,)/(batch, 160) RAW samples -> (20,)/(B, 20)
+        normalised features for frame k-1 (one warmup tick)."""
+        squeeze = np.ndim(pcm_rows) == 1
+        self.state, feat = self._step(
+            self.state, _rows(pcm_rows, self.batch, C.FRAME_SIZE))
+        feat = np.asarray(feat)
+        return feat[0] if squeeze and self.batch == 1 else feat
 
 
 def _encoder_step(params: fp.FramePredictorParams,
@@ -304,7 +372,8 @@ class StreamingCodec:
                  codebooks: fp.Codebooks,
                  voc_params: lpcnet.LPCNetParams,
                  l1: float = 0.09, l2: float = 0.28,
-                 seed: int = 0, batch: int = 1):
+                 seed: int = 0, batch: int = 1,
+                 from_pcm: bool = False, preemph: float = 0.85):
         self.batch = batch
         self.key = jax.random.PRNGKey(seed)
         self._n_vq = len(codebooks.vq)
@@ -312,6 +381,7 @@ class StreamingCodec:
                          if codebooks.vq_bl is not None else 1)
         self._enc_params = enc_params
         self._voc_params = voc_params
+        self.from_pcm = from_pcm
         self.reset()
 
         enc = _encoder_step(enc_params, codebooks, l1, l2)
@@ -319,7 +389,7 @@ class StreamingCodec:
         voc = _vocoder_step(voc_params)
         s, sb = self._n_vq, self._n_vq_bl
 
-        def tick(enc_state, dec_state, voc_state, key, feat_rows):
+        def chain(enc_state, dec_state, voc_state, key, feat_rows):
             enc_state, packed = enc(enc_state, feat_rows)
             # re-materialise the symbol dict ON DEVICE (the decoder
             # consumes exactly what a receiver would unpack)
@@ -330,7 +400,23 @@ class StreamingCodec:
             out = jnp.concatenate([packed, ys], axis=-1)
             return enc_state, dec_state, voc_state, out
 
-        self._tick = jax.jit(tick)
+        if from_pcm:
+            front = _frontend_step(preemph)
+
+            def tick(front_state, enc_state, dec_state, voc_state,
+                     key, pcm_rows):
+                # mic PCM -> features -> symbols -> coded -> speech,
+                # still ONE compiled program and ONE round trip; the
+                # frontend's one-block lookahead means tick k codes
+                # frame k-1 (discard the tick-0 warmup output)
+                front_state, feat_rows = front(front_state, pcm_rows)
+                enc_state, dec_state, voc_state, out = chain(
+                    enc_state, dec_state, voc_state, key, feat_rows)
+                return front_state, enc_state, dec_state, voc_state, out
+
+            self._tick_pcm = jax.jit(tick)
+        else:
+            self._tick = jax.jit(chain)
 
     def reset(self):
         b = self.batch
@@ -345,6 +431,11 @@ class StreamingCodec:
                           jnp.zeros((b, vp.gru_b.units)),
                           jnp.zeros((b, C.LPC_ORDER)),
                           jnp.zeros((b,)), jnp.zeros((b,)))
+        if getattr(self, "from_pcm", False):
+            from fpsc_tpu.dsp.frontend import PITCH_MAX
+            self.front_state = (
+                jnp.zeros((b, PITCH_MAX + C.WINDOW_SIZE)),
+                jnp.zeros((b,)))
 
     def process_frame(self, feat_rows: np.ndarray) -> Dict:
         """feat_rows (20,)/(batch, 20) normalised [ceps|pitch] ->
@@ -356,6 +447,27 @@ class StreamingCodec:
          out) = self._tick(self.enc_state, self.dec_state,
                            self.voc_state, sub,
                            _rows(feat_rows, self.batch, 20))
+        p = np.asarray(out)                    # single host transfer
+        res, width = _split_symbols(p, self._n_vq, self._n_vq_bl)
+        res["audio"] = p[:, width:]
+        if squeeze and self.batch == 1:
+            res = jax.tree_util.tree_map(lambda a: a[0], res)
+        return res
+
+    def process_pcm(self, pcm_rows: np.ndarray) -> Dict:
+        """RAW 10 ms PCM block (160,)/(batch, 160) -> the same result
+        dict as process_frame, for frame k-1 (requires
+        from_pcm=True; tick 0 is analysis warmup — discard it).
+        The full duplex loop (mic -> features -> symbols -> coded ->
+        speech) runs as ONE compiled program per tick."""
+        assert self.from_pcm, "construct StreamingCodec(from_pcm=True)"
+        squeeze = np.ndim(pcm_rows) == 1
+        self.key, sub = jax.random.split(self.key)
+        (self.front_state, self.enc_state, self.dec_state,
+         self.voc_state, out) = self._tick_pcm(
+            self.front_state, self.enc_state, self.dec_state,
+            self.voc_state, sub,
+            _rows(pcm_rows, self.batch, C.FRAME_SIZE))
         p = np.asarray(out)                    # single host transfer
         res, width = _split_symbols(p, self._n_vq, self._n_vq_bl)
         res["audio"] = p[:, width:]

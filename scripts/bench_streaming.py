@@ -84,6 +84,15 @@ def main(n_frames: int = 50):
                            lambda t: fused.process_frame(feat[:, t]),
                            n_frames, batch)
 
+        # mic-to-speech: the SAME fused tick fed raw 10 ms PCM blocks
+        # (on-device analysis frontend folded into the program)
+        pcm = (rng.randn(batch, n_frames, 160) * 0.1).astype(np.float32)
+        pcmc = StreamingCodec(fp_params, cbs, voc_params, batch=batch,
+                              from_pcm=True)
+        dt_p = bench_stage("StreamingCodec (from PCM)",
+                           lambda t: pcmc.process_pcm(pcm[:, t]),
+                           n_frames, batch)
+
         # host-side streaming ENTROPY layer (range_coder.Streaming*):
         # one independent codec per stream, pure numpy — runs on the
         # host CPU concurrently with the device tick, so its budget
@@ -112,7 +121,7 @@ def main(n_frames: int = 50):
                 rdecs[b].push_bytes(chunk)
                 rdecs[b].pull_frame()
         bench_stage("entropy enc+dec (host)", rc_tick, n_frames, batch)
-        results[batch] = (dt_e, dt_d, dt_v, total, dt_f)
+        results[batch] = (dt_e, dt_d, dt_v, total, dt_f, dt_p)
     return results
 
 

@@ -424,3 +424,79 @@ def test_streaming_range_coder_lockstep_matches_offline():
                 np.testing.assert_array_equal(f["indices"]["vq_bl"],
                                               idx["vq_bl"][t])
             np.testing.assert_array_equal(f["pcodes"], pcodes[t])
+
+
+def test_streaming_frontend_matches_batch_extractor():
+    """StreamingFrontend must reproduce the batch extractor
+    frame-for-frame: tick k emits frame k-1 (one block lookahead,
+    tick-0 warmup discarded).  Same-op parity: cepstra to f32
+    rounding, pitch features exactly (the ring at tick k IS frame
+    k-1's pitch context)."""
+    from fpsc_tpu.codec.streaming import StreamingFrontend
+    from fpsc_tpu.data.synthetic import speech_like_waveform
+    from fpsc_tpu.dsp import constants as C
+    from fpsc_tpu.dsp.frontend import extract_features
+
+    x = np.asarray(speech_like_waveform(
+        np.random.RandomState(11), 16000))[:8000].astype(np.float32)
+    n_frames = len(x) // C.FRAME_SIZE - 1
+    ref = np.asarray(extract_features(jnp.asarray(x)))  # (T, 36)
+    ref_feat = ref[:, :20] / C.MAXI
+
+    sf = StreamingFrontend()
+    got = []
+    for k in range(len(x) // C.FRAME_SIZE):
+        block = x[k * C.FRAME_SIZE:(k + 1) * C.FRAME_SIZE]
+        out = sf.process_block(block)
+        if k >= 1:                      # tick 0 is warmup
+            got.append(out)
+    got = np.asarray(got)[:n_frames]
+    assert got.shape == (n_frames, 20)
+    # cepstra: identical math, jit-boundary rounding only
+    np.testing.assert_allclose(got[:, :18], ref_feat[:n_frames, :18],
+                               rtol=1e-4, atol=2e-5)
+    # pitch features: periods must agree lag-for-lag except f32
+    # knife-edge argmax flips (same contract as the jnp-vs-np
+    # frontend tests); correlations to small tolerance
+    lag_got = got[:, 18] * C.MAXI * 50.0 + 100.0
+    lag_ref = ref_feat[:n_frames, 18] * C.MAXI * 50.0 + 100.0
+    mismatch = np.abs(lag_got - lag_ref) > 0.5
+    assert mismatch.mean() <= 0.04, (
+        f"{mismatch.sum()}/{n_frames} lag mismatches")
+    np.testing.assert_allclose(
+        got[~mismatch, 19], ref_feat[:n_frames][~mismatch, 19],
+        rtol=1e-3, atol=1e-4)
+
+
+def test_streaming_codec_pcm_matches_frontend_plus_chain(setup):
+    """StreamingCodec(from_pcm=True) — the mic-to-speech single
+    dispatch — must equal StreamingFrontend + feature-mode
+    StreamingCodec tick-for-tick on symbols and coded features."""
+    from fpsc_tpu.codec.streaming import StreamingCodec, StreamingFrontend
+    from fpsc_tpu.data.synthetic import speech_like_waveform
+    from fpsc_tpu.dsp import constants as C
+    from fpsc_tpu.models import lpcnet
+    params, cbs, _ = setup
+    lcfg = lpcnet.LPCNetConfig(gru_a_units=16, gru_b_units=8,
+                               embed_dim=8, cond_units=8)
+    vparams = lpcnet.init_lpcnet(jax.random.PRNGKey(1), lcfg)
+
+    x = np.asarray(speech_like_waveform(
+        np.random.RandomState(3), 16000))[:2400].astype(np.float32)
+
+    pcm_codec = StreamingCodec(params, cbs, vparams, seed=7,
+                               from_pcm=True)
+    feat_codec = StreamingCodec(params, cbs, vparams, seed=7)
+    sf = StreamingFrontend()
+    for k in range(len(x) // C.FRAME_SIZE):
+        block = x[k * C.FRAME_SIZE:(k + 1) * C.FRAME_SIZE]
+        got = pcm_codec.process_pcm(block)
+        feat = sf.process_block(block)
+        ref = feat_codec.process_frame(feat)
+        assert got["audio"].shape == (160,)
+        assert bool(got["ind1"]) == bool(ref["ind1"])
+        assert bool(got["ind2"]) == bool(ref["ind2"])
+        np.testing.assert_array_equal(got["indices"]["vq"],
+                                      ref["indices"]["vq"])
+        np.testing.assert_allclose(got["coded"], ref["coded"],
+                                   rtol=1e-4, atol=1e-5)
