@@ -87,7 +87,9 @@ def measure_operating_points(params, codebooks, feat,
                                  0.5, 0.75, 1.0, 1.5, 2.25, 3.5),
                              l1: float = 0.09, l2: float = 0.28,
                              normalized: bool = True,
-                             preset: str = "full") -> List[Dict]:
+                             preset: str = "full",
+                             use_mask: bool = False,
+                             mask_scale: float = 1000.0) -> List[Dict]:
     """feat: (B, L, 36-or-20) calibration frames (normalised when
     `normalized`).  Returns one dict per scale: {scale, l1, l2, bps,
     mse, priors, orders} with bps = mean entropy-coded rate over the
@@ -105,9 +107,13 @@ def measure_operating_points(params, codebooks, feat,
         if codebooks.vq_bl is not None else [],
     }
     orders = rc.scalar_orders(codebooks)
+    # use_mask: indicators come from the trained mask head
+    # (the reference's deployed encoder) — the threshold scale is
+    # inert, so callers sweep presets only (scales=(1.0,))
     enc_jit = jax.jit(
-        lambda p, c, f, a, b: encode(p, c, f, l1=a, l2=b),
-        static_argnums=())
+        lambda p, c, f, a, b: encode(p, c, f, l1=a, l2=b,
+                                     use_mask=use_mask,
+                                     scale=mask_scale))
     points = []
     feat_np = np.asarray(feat)
     for s in scales:
@@ -138,20 +144,27 @@ def measure_rd_surface(params, codebooks, feat,
                        scales: Sequence[float] = (
                            0.35, 0.5, 0.75, 1.0, 1.5, 2.25),
                        l1: float = 0.09, l2: float = 0.28,
-                       normalized: bool = True) -> List[Dict]:
+                       normalized: bool = True,
+                       use_mask: bool = False,
+                       mask_scale: float = 1000.0) -> List[Dict]:
     """Sweep presets x threshold scales on a calibration batch.
 
     Sub-1 scales are included deliberately: once the below-threshold
     VQ is dropped, LOWERING the thresholds routes more frames through
     the fine above-threshold path, so the scale knob spans real rate
-    within each reduced preset.  Returns the flat point list (each
-    point carries its preset name + sizes dict + priors)."""
+    within each reduced preset.  With use_mask the indicator streams
+    come from the trained mask head and the scale knob is inert, so
+    the sweep collapses to presets only.  Returns the flat point list
+    (each point carries its preset name + sizes dict + priors)."""
+    if use_mask:
+        scales = (1.0,)
     points = []
     for name, spec in presets.items():
         cbs = preset_codebooks(codebooks, **spec)
         points.extend(measure_operating_points(
             params, cbs, feat, scales=scales, l1=l1, l2=l2,
-            normalized=normalized, preset=name))
+            normalized=normalized, preset=name, use_mask=use_mask,
+            mask_scale=mask_scale))
     return points
 
 

@@ -24,7 +24,14 @@ This script reuses the saved flagship predictor + codebooks (run
 4. assert the frontier spans a real rate range (>=1.3x), targets are
    hit within tolerance, and the R-D ordering holds on held-out data.
 
-    python scripts/validate_rate_control.py [label] [epoch]
+    python scripts/validate_rate_control.py [mode] [label] [epoch]
+
+mode is "threshold" (default; flagship artifacts) or "mask" (the
+reference's deployed hard-mask encoder, validate_mask_flagship
+artifacts).  In mask mode the indicator streams come from the trained
+mask head, so the threshold-scale knob is inert and the surface is
+the preset dimension alone; targets are placed relative to the
+measured span.
 """
 import glob
 import os
@@ -37,28 +44,29 @@ sys.path.insert(0, ".")
 import numpy as np
 
 OUT = "/tmp/fpsc_flagship"
+OUT_MASK = "/tmp/fpsc_mask_flagship"
 
 
-def newest_label():
+def newest_label(out, prefix):
     cands = []
-    for d in glob.glob(os.path.join(OUT, "flag_*")):
+    for d in glob.glob(os.path.join(out, prefix + "*")):
         if os.path.isdir(d) and not d.endswith("_voc_s"):
             cands.append(os.path.basename(d))
     if not cands:
         raise SystemExit(
-            "no flagship artifacts under /tmp/fpsc_flagship — run "
-            "scripts/validate_flagship.py first or pass a label")
+            f"no artifacts under {out} — run the matching "
+            "validate_*flagship script first or pass a label")
     return sorted(cands)[-1]
 
 
-def newest_epoch(label):
+def newest_epoch(out, label):
     eps = [int(m.group(1)) for f in
-           glob.glob(os.path.join(OUT, label, f"{label}_*.ckpt"))
+           glob.glob(os.path.join(out, label, f"{label}_*.ckpt"))
            if (m := re.search(r"_(\d+)\.ckpt$", f))]
     return max(eps)
 
 
-def main(label=None, epoch=None):
+def main(mode="threshold", label=None, epoch=None):
     import jax
     import jax.numpy as jnp
 
@@ -72,9 +80,12 @@ def main(label=None, epoch=None):
     from fpsc_tpu.train import checkpoint as ckpt
     from fpsc_tpu.train.train_frame import build_model
 
-    label = label or newest_label()
-    epoch = epoch if epoch is not None else newest_epoch(label)
-    print(f"artifacts: {label} epoch {epoch}", flush=True)
+    use_mask = mode == "mask"
+    out = OUT_MASK if use_mask else OUT
+    prefix = "mask_" if use_mask else "flag_"
+    label = label or newest_label(out, prefix)
+    epoch = epoch if epoch is not None else newest_epoch(out, label)
+    print(f"artifacts ({mode}): {label} epoch {epoch}", flush=True)
 
     cfg = Config(label=label)
     apply_overrides(cfg, [
@@ -82,11 +93,11 @@ def main(label=None, epoch=None):
         "data.synthetic_utterances=96",
         "data.chunks=6", "data.batch_size=16",
         "predictor.gru_units1=384", "predictor.gru_units2=128",
-        f"train.save_dir={OUT}",
-        f"codec.codebook_path={OUT}/cb.npz",
+        f"train.save_dir={out}",
+        f"codec.codebook_path={out}/cb.npz",
     ])
     params = build_model(cfg, jax.random.PRNGKey(cfg.train.seed))
-    payload = ckpt.load(ckpt.checkpoint_path(OUT, label, epoch))
+    payload = ckpt.load(ckpt.checkpoint_path(out, label, epoch))
     params = ckpt.restore_params(params, payload, "predictor")
     codebooks = ckpt.load_codebooks(cfg.codec.codebook_path)
 
@@ -98,7 +109,8 @@ def main(label=None, epoch=None):
     print("=== 1. preset x scale R-D surface (calibration) ===",
           flush=True)
     t0 = time.time()
-    points = rcctl.measure_rd_surface(params, codebooks, feat_cal)
+    points = rcctl.measure_rd_surface(params, codebooks, feat_cal,
+                                      use_mask=use_mask)
     front = rcctl.pareto_frontier(points)
     fkeys = {(p["preset"], p["scale"]) for p in front}
     for p in sorted(points, key=lambda q: q["bps"]):
@@ -122,7 +134,8 @@ def main(label=None, epoch=None):
         cbs = rcctl.preset_codebooks(
             codebooks, **rcctl.PRESETS[point["preset"]])
         enc = encode(params, cbs, jnp.asarray(feat_val),
-                     l1=point["l1"], l2=point["l2"])
+                     l1=point["l1"], l2=point["l2"],
+                     use_mask=use_mask)
         ind1 = np.asarray(enc["ind1"])
         ind2 = np.asarray(enc["ind2"])
         idx = {k: np.asarray(v) for k, v in enc["indices"].items()}
@@ -170,7 +183,14 @@ def main(label=None, epoch=None):
 
     print("=== 2. target-rate presets, measured HELD-OUT ===",
           flush=True)
-    targets = [1400.0, 1150.0, 950.0]
+    if use_mask:
+        # preset-only surface: pick targets relative to the span
+        targets = [max(rates) * 1.01,
+                   float(np.exp(0.5 * (np.log(max(rates))
+                                       + np.log(min(rates))))),
+                   min(rates) * 1.05]
+    else:
+        targets = [1400.0, 1150.0, 950.0]
     achieved = []
     for tgt in targets:
         sel = rcctl.select_preset(points, tgt)
@@ -196,7 +216,7 @@ def main(label=None, epoch=None):
     # flagship vocoder (trained once on full-preset coded features;
     # the reduced presets shift its input distribution — the point of
     # measuring in the listening domain) ---
-    voc_dir = os.path.join(OUT, f"{label}_voc_s")
+    voc_dir = os.path.join(out, f"{label}_voc_s")
     if not os.path.isdir(voc_dir):
         print("no saved vocoder — skipping audio R-D section",
               flush=True)
@@ -217,7 +237,7 @@ def main(label=None, epoch=None):
     lcfg = lpcnet.LPCNetConfig(gru_b_units=32)
     voc = lpcnet_bunched.init_bunched(jax.random.PRNGKey(0), lcfg)
     vpayload = ckpt.load(ckpt.checkpoint_path(
-        OUT, f"{label}_voc_s", vep))
+        out, f"{label}_voc_s", vep))
     voc = ckpt.restore_params(voc, vpayload, "vocoder (bunch=2)")
     pat = auto_block_pattern(voc)
 
@@ -227,7 +247,7 @@ def main(label=None, epoch=None):
         cbs = rcctl.preset_codebooks(
             codebooks, **rcctl.PRESETS[sel["preset"]])
         enc = encode(params, cbs, jnp.asarray(feat_val[:3]),
-                     l1=sel["l1"], l2=sel["l2"])
+                     l1=sel["l1"], l2=sel["l2"], use_mask=use_mask)
         coded = np.asarray(enc["coded"])
         coded_un = coded * pitch_scale
         periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
@@ -261,5 +281,6 @@ def main(label=None, epoch=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else None,
-         int(sys.argv[2]) if len(sys.argv) > 2 else None)
+    main(sys.argv[1] if len(sys.argv) > 1 else "threshold",
+         sys.argv[2] if len(sys.argv) > 2 else None,
+         int(sys.argv[3]) if len(sys.argv) > 3 else None)
