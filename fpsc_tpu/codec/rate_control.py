@@ -39,8 +39,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from fpsc_tpu.codec import bitstream as bs
-from fpsc_tpu.codec import range_coder as rc
+from fpsc_tpu.codec import native_rc
 from fpsc_tpu.codec.codec import encode
+
+# byte-identical native C++ entropy backend when it builds (parity
+# pinned in tests/test_native_rc.py), pure-Python reference otherwise
+rc = native_rc.best()
 from fpsc_tpu.dsp import constants as C
 from fpsc_tpu.models import frame_predictor as fp
 

@@ -102,7 +102,8 @@ def run(cfg: Config, num_samples: int = 2, out_dir: Optional[str] = None,
         idx_np = {k: np.asarray(v)[0] for k, v in enc["indices"].items()}
         pitch_raw = np.asarray(feat)[0, :, 18:] * scale
         if cfg.codec.entropy_coding:
-            from fpsc_tpu.codec import range_coder as rcmod
+            from fpsc_tpu.codec import native_rc
+            rcmod = native_rc.best()  # byte-identical C++ when built
             # both sides derive the identical value-rank orders from
             # the codebook artifacts (energy context buckets)
             orders = rcmod.scalar_orders(codebooks)
