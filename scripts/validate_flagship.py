@@ -120,8 +120,9 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
                                 vocoder_params=voc_params,
                                 priors=priors)
     from fpsc_tpu.data.dataset import build_dataset
+    from fpsc_tpu.eval.stoi import stoi
     ds = build_dataset(cfg_s.data, "val")
-    lsds, slsds, rates = [], [], []
+    lsds, slsds, rates, stois = [], [], [], []
     for ns, batch in enumerate(ds.iter_batches(1, seed=0)):
         if ns >= len(results):
             break
@@ -130,14 +131,20 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
         lsds.append(log_spectral_distance(truth[:len(y)], y))
         slsds.append(stft_log_spectral_distance(truth[:len(y)], y))
         rates.append(results[ns]["bitrate"])
+        try:
+            stois.append(stoi(truth[:len(y)], y))
+        except ValueError:      # fixture too short for 384 ms segments
+            pass
     noise_sig = np.random.RandomState(0).randn(len(truth)).astype(
         np.float32) * truth.std()
     lsd_n = log_spectral_distance(truth, noise_sig)
     slsd_n = stft_log_spectral_distance(truth, noise_sig)
+    st_msg = (f"; STOI {np.mean(stois):.3f} "
+              f"(noise {stoi(truth, noise_sig):.3f})" if stois else "")
     print(f"decoded-audio Bark-LSD {np.mean(lsds):.3f} "
           f"(noise {lsd_n:.3f}); STFT-LSD {np.mean(slsds):.2f} dB "
           f"(noise {slsd_n:.2f}); entropy-coded bitrate "
-          f"{np.mean(rates):.0f} b/s", flush=True)
+          f"{np.mean(rates):.0f} b/s{st_msg}", flush=True)
     assert np.mean(lsds) < 0.7 * lsd_n
     assert np.mean(rates) < 2000.0
     print("FLAGSHIP VALIDATION PASSED", flush=True)

@@ -63,14 +63,21 @@ def main(epochs: int = 150):
     truth = deemphasis(arrs["x"])
     noise = np.random.RandomState(0).randn(
         len(truth[0])).astype(np.float32) * truth[0].std()
+    from fpsc_tpu.eval.stoi import stoi
     for name, y in (("pallas", y_pallas), ("xla", y_xla)):
         lsd = log_spectral_distance(truth[0], y[0])
         lsd_noise = log_spectral_distance(truth[0], noise)
         slsd = stft_log_spectral_distance(truth[0], y[0])
         slsd_noise = stft_log_spectral_distance(truth[0], noise)
+        try:
+            st = stoi(truth[0], y[0])
+            st_noise = stoi(truth[0], noise)
+            st_msg = f"; STOI {st:.3f} (noise {st_noise:.3f})"
+        except ValueError:      # fixture too short for 384 ms segments
+            st_msg = ""
         print(f"{name}: Bark-LSD {lsd:.3f} (noise {lsd_noise:.3f}); "
-              f"STFT-LSD {slsd:.2f} dB (noise {slsd_noise:.2f} dB)",
-              flush=True)
+              f"STFT-LSD {slsd:.2f} dB (noise {slsd_noise:.2f} dB)"
+              f"{st_msg}", flush=True)
         assert np.isfinite(y).all()
         assert lsd < 0.8 * lsd_noise, (
             f"{name} synthesis no better than noise: {lsd} vs {lsd_noise}")
