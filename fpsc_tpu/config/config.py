@@ -66,6 +66,10 @@ class CodecConfig:
     # false selects the l1/l2 threshold path.
     use_mask: bool = False
     mask_scale: float = 1000.0
+    # Codebook-subset rate preset for the file codec CLI
+    # (rate_control.PRESETS: full | vq1 | novqbl | lean); decoders
+    # read the preset back from the .fpsc container header.
+    preset: str = "full"
 
 
 @dataclass
@@ -102,6 +106,12 @@ class LPCNetConfig:
     # exposure-bias mitigation - targets steer back to the clean
     # signal from a noisy history.
     noise_levels: int = 0
+    # ramp-in schedule for noise injection: fraction of the training
+    # budget (wall seconds when train.max_seconds is set, epochs
+    # otherwise) run CLEAN before noise switches on.  Noise injection
+    # measured NEGATIVE at short budgets but positive once converged
+    # (VALIDATION.md); the ramp buys the fast clean warmup first.
+    noise_warmup_frac: float = 0.0
     # GRU_A recurrent block sparsification (1.0 = dense); the cubic
     # ramp runs between the two step counts (LPCNet training practice)
     gru_a_density: float = 1.0

@@ -190,6 +190,15 @@ def run(cfg: Config, data_dir: Optional[str] = None,
                 4: lpcnet_bunched.loss_fn4}
     train_step, eval_step = make_step(tx, loss_fns[bunch],
                                       cfg.lpcnet.noise_levels)
+    # ramp-in schedule: a separate CLEAN step for the warmup phase
+    # (lpcnet.noise_warmup_frac of the budget), then switch to the
+    # noisy step.  Both are compiled before the wall clock starts so
+    # equal-wall-time A/Bs don't charge the ramp arm a mid-budget
+    # compile.
+    ramp = (cfg.lpcnet.noise_levels > 0
+            and cfg.lpcnet.noise_warmup_frac > 0.0)
+    clean_step = (make_step(tx, loss_fns[bunch], 0)[0] if ramp
+                  else train_step)
     noise_base = jax.random.PRNGKey(cfg.train.seed + 77)
 
     label = cfg.label + "_s"
@@ -211,7 +220,31 @@ def run(cfg: Config, data_dir: Optional[str] = None,
                                            seed=cfg.train.seed + epoch):
             arrs = vocoder_inputs(batch, cfg.data.normalize)
             arrs = meshlib.shard_batch(mesh, arrs)
-            params, opt_state, loss = train_step(
+            if ramp and train_t0 is None:
+                # pre-pay the NOISY step's compile on throwaway copies
+                # so the post-warmup switch is free under the clock
+                p2 = jax.tree_util.tree_map(
+                    lambda a: jnp.array(a, copy=True), params)
+                o2 = jax.tree_util.tree_map(
+                    lambda a: (jnp.array(a, copy=True)
+                               if hasattr(a, "dtype") else a), opt_state)
+                _, _, warm_loss = train_step(
+                    p2, o2, arrs["feat"], arrs["periods"], arrs["x"],
+                    arrs["lpc"], noise_base)
+                float(warm_loss)
+            if ramp:
+                if cfg.train.max_seconds:
+                    noise_on = (train_t0 is not None
+                                and time.time() - train_t0
+                                >= cfg.lpcnet.noise_warmup_frac
+                                * cfg.train.max_seconds)
+                else:
+                    noise_on = (epoch >= cfg.lpcnet.noise_warmup_frac
+                                * cfg.train.epochs)
+            else:
+                noise_on = cfg.lpcnet.noise_levels > 0
+            step_fn = train_step if noise_on else clean_step
+            params, opt_state, loss = step_fn(
                 params, opt_state, arrs["feat"], arrs["periods"],
                 arrs["x"], arrs["lpc"],
                 jax.random.fold_in(noise_base, global_step))

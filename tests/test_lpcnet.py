@@ -179,6 +179,25 @@ def test_train_lpcnet_entry(tmp_path):
     assert np.isfinite(loss)
 
 
+def test_train_lpcnet_noise_ramp_schedule(tmp_path):
+    """noise_warmup_frac trains the first epochs clean, then switches
+    to the noisy step (both phases must run and stay finite)."""
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.train import train_lpcnet as tl
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.synthetic=true", "data.synthetic_utterances=2",
+        "data.chunks=1", "data.batch_size=2",
+        "lpcnet.gru_a_units=32", "lpcnet.gru_b_units=8",
+        "lpcnet.embed_dim=16", "lpcnet.cond_units=16",
+        "lpcnet.noise_levels=2", "lpcnet.noise_warmup_frac=0.5",
+        "train.epochs=4", "train.steps_per_epoch=1",
+        f"train.save_dir={tmp_path}", "train.save_every=1000",
+    ])
+    params, loss = tl.run(cfg)
+    assert np.isfinite(loss)
+
+
 def test_upd_f_only_freezes_sample_net(tmp_path):
     """With upd_f_only the sample-rate net must not move."""
     import optax
