@@ -1,0 +1,291 @@
+"""File codec CLI: wav -> `.fpsc` bitstream file -> wav.
+
+The user-facing codec the reference never shipped (its pipeline stops
+at decoded FEATURE dumps handed to an external vocoder,
+src/generate_qtz_features.py + README.md:42-47).  Here a standalone
+encoder process writes a self-contained container and a separate
+decoder process reconstructs audio from it — artifacts (predictor
+checkpoint, codebook .npz with attached priors) are the only shared
+state, exactly like a deployed codec.
+
+    # encode: wav in, one .fpsc out
+    python -m fpsc_tpu.codec.cli encode OUT.fpsc IN.wav [IN2.wav ...] \
+        train.transfer_model=<label> codec.codebook_path=cb.npz \
+        [codec.preset=lean] [codec.use_mask=true] [key=value ...]
+
+    # decode: .fpsc in, wavs out
+    python -m fpsc_tpu.codec.cli decode IN.fpsc OUT_DIR \
+        train.transfer_model=<label> codec.codebook_path=cb.npz \
+        train.vocoder_model=<label_s> [key=value ...]
+
+Encode side: on-TPU analysis frontend (dsp/frontend.extract_features
+— the whole chain is one XLA program) -> closed-loop encode (single
+lax.scan with in-scan VQ) -> native C++ range coder.  Decode side:
+entropy decode -> closed-loop feature decode -> ceps2lpc -> fused
+Pallas LPCNet sampler.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from fpsc_tpu.codec import container
+
+
+def _jax():
+    # honor JAX_PLATFORMS=cpu for subprocess tests: the env var alone
+    # is ignored once the axon plugin registers (CLAUDE.md env rule 3)
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def load_artifacts(cfg, need_vocoder: bool = False):
+    """(frame_params, codebooks, priors, orders, rcmod, sizes
+    [, vocoder_params]) from the checkpoint/codebook paths in cfg.
+    The rate preset (cfg.codec.preset) is applied to the codebooks
+    here so every downstream layer sees the reduced geometry."""
+    jax = _jax()
+    from fpsc_tpu.codec import native_rc, rate_control
+    from fpsc_tpu.train import checkpoint as ckpt
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    from fpsc_tpu.train.train_frame import build_model as build_frame
+
+    frame_params = build_frame(cfg, jax.random.PRNGKey(cfg.train.seed))
+    if cfg.train.transfer_model:
+        payload = ckpt.load(ckpt.checkpoint_path(
+            cfg.train.save_dir, cfg.train.transfer_model,
+            cfg.train.transfer_epoch))
+        frame_params = ckpt.restore_params(
+            frame_params, payload, "predictor")
+    codebooks = ckpt.load_codebooks(cfg.codec.codebook_path)
+    if cfg.codec.preset != "full":
+        codebooks = rate_control.preset_codebooks(
+            codebooks, **rate_control.PRESETS[cfg.codec.preset])
+    priors = ckpt.load_priors(cfg.codec.codebook_path)
+    rcmod = native_rc.best()
+    orders = rcmod.scalar_orders(codebooks)
+    sizes = codebook_sizes(codebooks)
+    if priors is not None and cfg.codec.preset != "full":
+        # priors were collected at the FULL geometry; reduced presets
+        # drop VECTOR streams only (scalar gains always survive), and
+        # the remaining streams' count arrays are unchanged — drop the
+        # priors of the removed stages
+        dropped = {f"vq_{s}" for s in range(len(sizes["vq"]), 9)}
+        dropped |= {f"vq_bl_{s}"
+                    for s in range(len(sizes["vq_bl"]), 9)}
+        priors = {k: v for k, v in priors.items() if k not in dropped}
+    out = [frame_params, codebooks, priors, orders, rcmod, sizes]
+    if need_vocoder:
+        out.append(_load_vocoder(cfg, ckpt))
+    return out
+
+
+def _load_vocoder(cfg, ckpt):
+    jax = _jax()
+    from fpsc_tpu.models import lpcnet
+    lcfg = lpcnet.LPCNetConfig(
+        gru_a_units=cfg.lpcnet.gru_a_units,
+        gru_b_units=cfg.lpcnet.gru_b_units,
+        embed_dim=cfg.lpcnet.embed_dim,
+        cond_units=cfg.lpcnet.cond_units)
+    key = jax.random.PRNGKey(cfg.train.seed + 2)
+    if cfg.lpcnet.bunch in (2, 4):
+        from fpsc_tpu.models import lpcnet_bunched
+        init = (lpcnet_bunched.init_bunched if cfg.lpcnet.bunch == 2
+                else lpcnet_bunched.init_bunched4)
+        params = init(key, lcfg)
+    else:
+        params = lpcnet.init_lpcnet(key, lcfg)
+    if cfg.train.vocoder_model:
+        payload = ckpt.load(ckpt.checkpoint_path(
+            cfg.train.save_dir, cfg.train.vocoder_model,
+            cfg.train.vocoder_epoch))
+        params = ckpt.restore_params(
+            params, payload, f"vocoder (bunch={cfg.lpcnet.bunch})")
+    return params
+
+
+def read_wav(path: str) -> np.ndarray:
+    """16 kHz mono float waveform in [-1, 1] (listening domain)."""
+    from scipy.io import wavfile
+    from fpsc_tpu.dsp import constants as C
+    sr, x = wavfile.read(path)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    if x.dtype == np.int16:
+        x = x.astype(np.float32) / 32768.0
+    x = np.asarray(x, np.float32)
+    if sr != C.SAMPLE_RATE:
+        from math import gcd
+        from fpsc_tpu.eval.stoi import resample_poly
+        g = gcd(C.SAMPLE_RATE, int(sr))
+        x = resample_poly(x, C.SAMPLE_RATE // g,
+                          int(sr) // g).astype(np.float32)
+    return x
+
+
+def encode_paths(cfg, wav_paths: Sequence[str], out_path: str,
+                 artifacts=None) -> dict:
+    """Encode wav files into one .fpsc container; returns per-file
+    rates.  The analysis frontend runs fully on-device."""
+    jax = _jax()
+    import jax.numpy as jnp
+    from fpsc_tpu.codec import bitstream as bs
+    from fpsc_tpu.codec.codec import encode
+    from fpsc_tpu.dsp import constants as C
+    from fpsc_tpu.dsp.frontend import extract_features
+
+    (frame_params, codebooks, priors, orders, rcmod,
+     sizes) = artifacts or load_artifacts(cfg)
+    scale = C.MAXI if cfg.data.normalize else 1.0
+    utts, rates = [], {}
+    for path in wav_paths:
+        x = read_wav(path)
+        rows = np.asarray(extract_features(jnp.asarray(x)))
+        if rows.shape[0] == 0:
+            raise ValueError(f"{path}: too short to code (<2 frames)")
+        # condition the closed-loop encoder on the DEQUANTIZED pitch —
+        # exactly what the decoder will reconstruct from the stream —
+        # so the two closed loops track bit-identically (the
+        # reference's qtz-pitch substitution, dataset_orig.py:69-71)
+        pitch_dq = bs.dequantize_pitch(
+            bs.quantize_pitch(rows[:, 18:20]))
+        feat = jnp.asarray(np.concatenate(
+            [rows[:, :18], pitch_dq], axis=1)[None] / scale)
+        enc = encode(frame_params, codebooks, feat,
+                     l1=cfg.codec.l1, l2=cfg.codec.l2,
+                     use_mask=cfg.codec.use_mask,
+                     scale=cfg.codec.mask_scale)
+        ind1 = np.asarray(enc["ind1"])[0]
+        ind2 = np.asarray(enc["ind2"])[0]
+        idx = {k: np.asarray(v)[0] for k, v in enc["indices"].items()}
+        pcodes = bs.quantize_pitch(rows[:, 18:20])
+        if cfg.codec.entropy_coding:
+            payload = rcmod.pack_utterance_rc(
+                ind1, ind2, idx, pcodes, sizes, priors=priors,
+                orders=orders)
+        else:
+            payload = bs.pack_utterance(ind1, ind2, idx,
+                                        rows[:, 18:20], sizes)
+        name = os.path.splitext(os.path.basename(path))[0]
+        utts.append((name, payload))
+        rates[name] = bs.bitrate_bps(len(payload), rows.shape[0])
+    total = container.write_fpsc(
+        out_path, utts, sizes, entropy=cfg.codec.entropy_coding,
+        use_mask=cfg.codec.use_mask, l1=cfg.codec.l1, l2=cfg.codec.l2,
+        mask_scale=cfg.codec.mask_scale, preset=cfg.codec.preset,
+        sample_rate=C.SAMPLE_RATE)
+    for name, bps in rates.items():
+        print(f"{name}: {bps:.0f} b/s")
+    print(f"wrote {out_path}: {len(utts)} utterance(s), {total} bytes")
+    return {"rates": rates, "bytes": total, "sizes": sizes}
+
+
+def decode_file(cfg, in_path: str, out_dir: str,
+                use_pallas: bool = True, artifacts=None,
+                vocoder_params=None) -> List[dict]:
+    """Decode every utterance in a .fpsc container to
+    out_dir/<name>.wav; returns the decoded features + audio."""
+    jax = _jax()
+    import jax.numpy as jnp
+    from fpsc_tpu.codec import bitstream as bs
+    from fpsc_tpu.codec.codec import decode
+    from fpsc_tpu.dsp import constants as C
+    from fpsc_tpu.dsp.ceps2lpc import ceps2lpc
+    from fpsc_tpu.train.synthesis import save_wav
+
+    if artifacts is None:
+        *artifacts, vocoder_params = load_artifacts(
+            cfg, need_vocoder=True)
+    (frame_params, codebooks, priors, orders, rcmod,
+     sizes) = artifacts
+    box = container.read_fpsc(in_path)
+    meta = box["meta"]
+    container.check_geometry(meta, sizes)
+    scale = C.MAXI if cfg.data.normalize else 1.0
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+    for name, payload in box["utterances"]:
+        if meta["entropy"]:
+            got = rcmod.unpack_utterance_rc(payload, sizes,
+                                            priors=priors,
+                                            orders=orders)
+        else:
+            got = bs.unpack_utterance(payload, sizes)
+        coded = decode(frame_params, codebooks,
+                       jnp.asarray(got["ind1"][None]),
+                       jnp.asarray(got["ind2"][None]),
+                       {k: jnp.asarray(v[None])
+                        for k, v in got["indices"].items()},
+                       jnp.asarray(got["pitch"][None]) / scale)
+        coded_un = np.asarray(coded) * scale
+        periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
+                   ).astype(np.int32)
+        _, lpc, _ = ceps2lpc(jnp.asarray(
+            coded_un.reshape(-1, 20)[:, :18]))
+        lpc = np.asarray(lpc).reshape(coded_un.shape[0], -1, 16)
+        y = _synthesize(vocoder_params, coded, periods, lpc,
+                        coded_un[..., 19], use_pallas)
+        wav_path = os.path.join(out_dir, f"{name}.wav")
+        save_wav(wav_path, y[0])
+        print(f"{name}: {len(payload)} bytes -> {y.shape[-1]} samples "
+              f"-> {wav_path}")
+        results.append({"name": name, "coded": np.asarray(coded)[0],
+                        "wav": y[0]})
+    return results
+
+
+def _synthesize(vocoder_params, coded, periods, lpc, corr,
+                use_pallas: bool):
+    jax = _jax()
+    import jax.numpy as jnp
+    from fpsc_tpu.models import lpcnet
+    if use_pallas:
+        from fpsc_tpu.ops.lpcnet_sampler import (auto_block_pattern,
+                                                 pallas_generate)
+        return np.asarray(pallas_generate(
+            vocoder_params, coded, jnp.asarray(periods),
+            jnp.asarray(lpc), jax.random.PRNGKey(0),
+            corr=jnp.asarray(corr),
+            gru_a_pattern=auto_block_pattern(vocoder_params)))
+    if hasattr(vocoder_params, "base"):
+        from fpsc_tpu.models import lpcnet_bunched
+        gen = lpcnet_bunched.generate_any
+    else:
+        gen = lpcnet.generate
+    return np.asarray(gen(vocoder_params, coded, jnp.asarray(periods),
+                          jnp.asarray(lpc), jax.random.PRNGKey(0),
+                          corr=jnp.asarray(corr)))
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from fpsc_tpu.config.config import Config, apply_overrides
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in ("encode", "decode"):
+        print(__doc__)
+        return 2
+    cmd, rest = argv[0], argv[1:]
+    paths = [a for a in rest if "=" not in a]
+    overrides = [a for a in rest if "=" in a]
+    cfg = Config()
+    apply_overrides(cfg, overrides)
+    if cmd == "encode":
+        if len(paths) < 2:
+            print("encode OUT.fpsc IN.wav [IN2.wav ...] [key=value]")
+            return 2
+        encode_paths(cfg, paths[1:], paths[0])
+    else:
+        if len(paths) != 2:
+            print("decode IN.fpsc OUT_DIR [key=value]")
+            return 2
+        decode_file(cfg, paths[0], paths[1])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

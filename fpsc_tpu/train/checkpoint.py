@@ -109,6 +109,24 @@ def save_codebooks(path: str, codebooks) -> None:
     np.savez(path, **arrays)
 
 
+def save_priors(path: str, priors: dict) -> None:
+    """Attach shared entropy-model priors (range_coder.collect_priors
+    output) to an existing codebook .npz — both codec sides must seed
+    their adaptive tables identically, so the priors ship WITH the
+    artifacts.  `prior__` keys are invisible to load_codebooks."""
+    z = dict(np.load(path))
+    z.update({f"prior__{k}": np.asarray(v) for k, v in priors.items()})
+    np.savez(path, **z)
+
+
+def load_priors(path: str):
+    """Priors dict stored by save_priors, or None when absent."""
+    z = np.load(path)
+    priors = {k[len("prior__"):]: z[k] for k in z.files
+              if k.startswith("prior__")}
+    return priors or None
+
+
 def load_codebooks(path: str):
     import jax.numpy as jnp
     from fpsc_tpu.models.frame_predictor import Codebooks

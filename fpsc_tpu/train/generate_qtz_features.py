@@ -139,6 +139,9 @@ def run(cfg: Config, max_utterances: int = 1000,
                                  orders=orders))
         * 8 for i1, i2, ix, pc in streams)
     bitrate_pri = bits_pri / frames_total * 100.0
+    # attach the priors to the codebook artifacts: the file codec
+    # (codec/cli.py) and any decoder-side process read them from there
+    ckpt.save_priors(cfg.codec.codebook_path, priors)
     print(f"coded {done} utterances -> {out_dir}")
     print(f"codebook usage entropies (bits): {entropies}")
     print(f"coded-feature MSE (normalised): {mse_sum / mse_n:.6f}")
