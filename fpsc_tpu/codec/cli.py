@@ -138,15 +138,21 @@ def encode_paths(cfg, wav_paths: Sequence[str], out_path: str,
     from fpsc_tpu.codec import bitstream as bs
     from fpsc_tpu.codec.codec import encode
     from fpsc_tpu.dsp import constants as C
-    from fpsc_tpu.dsp.frontend import extract_features
+    from fpsc_tpu.dsp.frontend import extract_features_batch
 
     (frame_params, codebooks, priors, orders, rcmod,
      sizes) = artifacts or load_artifacts(cfg)
     scale = C.MAXI if cfg.data.normalize else 1.0
-    utts, rates = [], {}
-    for path in wav_paths:
-        x = read_wav(path)
-        rows = np.asarray(extract_features(jnp.asarray(x)))
+
+    # bucket utterances by frame count and run each bucket as ONE
+    # batched closed-loop encode — the scan compiles once per length
+    # and every dispatch carries a full batch (per-call dispatch is
+    # the tunneled-TPU bottleneck, CLAUDE.md env rules)
+    waves = [read_wav(p) for p in wav_paths]
+    all_rows = extract_features_batch(waves)   # bucketed batched XLA
+    feats, buckets = {}, {}
+    for path, rows in zip(wav_paths, all_rows):
+        rows = np.asarray(rows)
         if rows.shape[0] == 0:
             raise ValueError(f"{path}: too short to code (<2 frames)")
         # condition the closed-loop encoder on the DEQUANTIZED pitch —
@@ -155,26 +161,38 @@ def encode_paths(cfg, wav_paths: Sequence[str], out_path: str,
         # reference's qtz-pitch substitution, dataset_orig.py:69-71)
         pitch_dq = bs.dequantize_pitch(
             bs.quantize_pitch(rows[:, 18:20]))
-        feat = jnp.asarray(np.concatenate(
-            [rows[:, :18], pitch_dq], axis=1)[None] / scale)
+        name = os.path.splitext(os.path.basename(path))[0]
+        feats[name] = np.concatenate([rows[:, :18], pitch_dq], axis=1)
+        buckets.setdefault(rows.shape[0], []).append(name)
+
+    coded = {}
+    for n_frames, names in buckets.items():
+        feat = jnp.asarray(np.stack([feats[n] for n in names]) / scale)
         enc = encode(frame_params, codebooks, feat,
                      l1=cfg.codec.l1, l2=cfg.codec.l2,
                      use_mask=cfg.codec.use_mask,
                      scale=cfg.codec.mask_scale)
-        ind1 = np.asarray(enc["ind1"])[0]
-        ind2 = np.asarray(enc["ind2"])[0]
-        idx = {k: np.asarray(v)[0] for k, v in enc["indices"].items()}
-        pcodes = bs.quantize_pitch(rows[:, 18:20])
+        for i, name in enumerate(names):
+            coded[name] = (
+                np.asarray(enc["ind1"])[i], np.asarray(enc["ind2"])[i],
+                {k: np.asarray(v)[i]
+                 for k, v in enc["indices"].items()})
+
+    utts, rates = [], {}
+    for path in wav_paths:            # preserve CLI argument order
+        name = os.path.splitext(os.path.basename(path))[0]
+        ind1, ind2, idx = coded[name]
+        pitch_raw = feats[name][:, 18:20]
         if cfg.codec.entropy_coding:
             payload = rcmod.pack_utterance_rc(
-                ind1, ind2, idx, pcodes, sizes, priors=priors,
-                orders=orders)
+                ind1, ind2, idx, bs.quantize_pitch(pitch_raw), sizes,
+                priors=priors, orders=orders)
         else:
-            payload = bs.pack_utterance(ind1, ind2, idx,
-                                        rows[:, 18:20], sizes)
-        name = os.path.splitext(os.path.basename(path))[0]
+            payload = bs.pack_utterance(ind1, ind2, idx, pitch_raw,
+                                        sizes)
         utts.append((name, payload))
-        rates[name] = bs.bitrate_bps(len(payload), rows.shape[0])
+        rates[name] = bs.bitrate_bps(len(payload),
+                                     feats[name].shape[0])
     total = container.write_fpsc(
         out_path, utts, sizes, entropy=cfg.codec.entropy_coding,
         use_mask=cfg.codec.use_mask, l1=cfg.codec.l1, l2=cfg.codec.l2,
@@ -209,7 +227,11 @@ def decode_file(cfg, in_path: str, out_dir: str,
     container.check_geometry(meta, sizes)
     scale = C.MAXI if cfg.data.normalize else 1.0
     os.makedirs(out_dir, exist_ok=True)
-    results = []
+
+    # entropy decode on host, then bucket by length and run each
+    # bucket's feature decode + vocoder as ONE batched program
+    # (mirrors the encoder's bucketing)
+    unpacked, buckets, order = {}, {}, []
     for name, payload in box["utterances"]:
         if meta["entropy"]:
             got = rcmod.unpack_utterance_rc(payload, sizes,
@@ -217,12 +239,20 @@ def decode_file(cfg, in_path: str, out_dir: str,
                                             orders=orders)
         else:
             got = bs.unpack_utterance(payload, sizes)
+        unpacked[name] = (got, len(payload))
+        buckets.setdefault(len(got["ind1"]), []).append(name)
+        order.append(name)
+
+    out = {}
+    for n_frames, names in buckets.items():
+        stack = lambda f: jnp.asarray(np.stack(
+            [f(unpacked[n][0]) for n in names]))
         coded = decode(frame_params, codebooks,
-                       jnp.asarray(got["ind1"][None]),
-                       jnp.asarray(got["ind2"][None]),
-                       {k: jnp.asarray(v[None])
-                        for k, v in got["indices"].items()},
-                       jnp.asarray(got["pitch"][None]) / scale)
+                       stack(lambda g: g["ind1"]),
+                       stack(lambda g: g["ind2"]),
+                       {k: stack(lambda g, k=k: g["indices"][k])
+                        for k in unpacked[names[0]][0]["indices"]},
+                       stack(lambda g: g["pitch"]) / scale)
         coded_un = np.asarray(coded) * scale
         periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
                    ).astype(np.int32)
@@ -231,12 +261,18 @@ def decode_file(cfg, in_path: str, out_dir: str,
         lpc = np.asarray(lpc).reshape(coded_un.shape[0], -1, 16)
         y = _synthesize(vocoder_params, coded, periods, lpc,
                         coded_un[..., 19], use_pallas)
+        for i, name in enumerate(names):
+            out[name] = {"name": name, "coded": np.asarray(coded)[i],
+                         "wav": y[i]}
+
+    results = []
+    for name in order:                # container order
+        r = out[name]
         wav_path = os.path.join(out_dir, f"{name}.wav")
-        save_wav(wav_path, y[0])
-        print(f"{name}: {len(payload)} bytes -> {y.shape[-1]} samples "
-              f"-> {wav_path}")
-        results.append({"name": name, "coded": np.asarray(coded)[0],
-                        "wav": y[0]})
+        save_wav(wav_path, r["wav"])
+        print(f"{name}: {unpacked[name][1]} bytes -> "
+              f"{len(r['wav'])} samples -> {wav_path}")
+        results.append(r)
     return results
 
 
@@ -245,6 +281,10 @@ def _synthesize(vocoder_params, coded, periods, lpc, corr,
     jax = _jax()
     import jax.numpy as jnp
     from fpsc_tpu.models import lpcnet
+    if jax.default_backend() == "cpu":
+        # Pallas TPU kernels only interpret (slowly) on CPU — use the
+        # XLA scan sampler there; the fused kernel is the TPU path
+        use_pallas = False
     if use_pallas:
         from fpsc_tpu.ops.lpcnet_sampler import (auto_block_pattern,
                                                  pallas_generate)
