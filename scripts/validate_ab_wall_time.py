@@ -76,11 +76,17 @@ def train_arm(name, budget_s, utts, extra):
     lsds = [log_spectral_distance(truth[i], y[i]) for i in range(4)]
     slsds = [stft_log_spectral_distance(truth[i], y[i])
              for i in range(4)]
+    try:
+        from fpsc_tpu.eval.stoi import stoi
+        sto = float(np.mean([stoi(truth[i], y[i]) for i in range(4)]))
+        sto_msg = f", STOI {sto:.3f}"
+    except ValueError:          # clips too short for 384 ms segments
+        sto_msg = ""
     noise = np.random.RandomState(0).randn(*truth[0].shape) * np.std(
         truth[0])
     print(f"{name}: Bark-LSD {np.mean(lsds):.3f} "
           f"(noise {log_spectral_distance(truth[0], noise):.3f}), "
-          f"STFT-LSD {np.mean(slsds):.2f} dB", flush=True)
+          f"STFT-LSD {np.mean(slsds):.2f} dB{sto_msg}", flush=True)
     return float(np.mean(lsds)), float(np.mean(slsds)), ce
 
 

@@ -52,20 +52,28 @@ def run_arm(name, epochs, utts, extra):
     ds = build_dataset(cfg.data, "val")
     batch = next(ds.iter_batches(4, seed=0))
     arrs = vocoder_inputs(batch)
+    from fpsc_tpu.ops.lpcnet_sampler import auto_block_pattern
     y = np.asarray(pallas_generate(
         params, jnp.asarray(arrs["feat"]),
         jnp.asarray(arrs["periods"]), jnp.asarray(arrs["lpc"]),
-        jax.random.PRNGKey(0)))
+        jax.random.PRNGKey(0),
+        gru_a_pattern=auto_block_pattern(params)))
     truth = deemphasis(arrs["x"])
     lsds = [log_spectral_distance(truth[i], y[i]) for i in range(4)]
     slsds = [stft_log_spectral_distance(truth[i], y[i])
              for i in range(4)]
+    try:
+        from fpsc_tpu.eval.stoi import stoi
+        sto = float(np.mean([stoi(truth[i], y[i]) for i in range(4)]))
+        sto_msg = f", STOI {sto:.3f}"
+    except ValueError:          # clips too short for 384 ms segments
+        sto_msg = ""
     print(f"{name}: Bark-LSD {np.mean(lsds):.3f}, "
-          f"STFT-LSD {np.mean(slsds):.2f} dB", flush=True)
+          f"STFT-LSD {np.mean(slsds):.2f} dB{sto_msg}", flush=True)
     return float(np.mean(lsds)), float(np.mean(slsds))
 
 
-def main(epochs: int = 400, utts: int = 96):
+def main(epochs: int = 400, utts: int = 96, arm_filter: str = ""):
     results = {}
     arms = {
         "b2_noise": ["lpcnet.bunch=2", "lpcnet.gru_b_units=32",
@@ -73,20 +81,33 @@ def main(epochs: int = 400, utts: int = 96):
         "b4gb64_noise": ["lpcnet.bunch=4", "lpcnet.gru_b_units=64",
                          "lpcnet.noise_levels=2"],
         "b4gb64_clean": ["lpcnet.bunch=4", "lpcnet.gru_b_units=64"],
+        # production-style block sparsity on top of the recovery
+        # recipe: quality gate for adding bunch4+sparse to the bench
+        # headline (the flagship bunch2 recipe trains the same ramp)
+        "b4gb64_noise_sparse": [
+            "lpcnet.bunch=4", "lpcnet.gru_b_units=64",
+            "lpcnet.noise_levels=2", "lpcnet.gru_a_density=0.2",
+            "lpcnet.sparsify_start=200",
+            f"lpcnet.sparsify_end={epochs * 4}"],
     }
+    if arm_filter:
+        keep = set(arm_filter.split(","))
+        arms = {k: v for k, v in arms.items() if k in keep}
     for name, extra in arms.items():
         results[name] = run_arm(name, epochs, utts, extra)
     print("\n=== bunch=4 recovery summary ===", flush=True)
     for name, (lsd, slsd) in results.items():
         print(f"{name:14s} Bark-LSD {lsd:.3f}  STFT {slsd:.2f} dB",
               flush=True)
-    gap = results["b4gb64_noise"][0] - results["b2_noise"][0]
-    print(f"bunch4(noise) - bunch2(noise) gap: {gap:+.3f} Bark-LSD "
-          f"({'MEETS' if gap <= 0.1 else 'misses'} the 0.1 target); "
-          f"round-2 record: b2 0.534 / b4gb64 0.704 (gap 0.17)",
-          flush=True)
+    if "b4gb64_noise" in results and "b2_noise" in results:
+        gap = results["b4gb64_noise"][0] - results["b2_noise"][0]
+        print(f"bunch4(noise) - bunch2(noise) gap: {gap:+.3f} Bark-LSD "
+              f"({'MEETS' if gap <= 0.1 else 'misses'} the 0.1 target); "
+              f"round-2 record: b2 0.534 / b4gb64 0.704 (gap 0.17)",
+              flush=True)
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 96)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 96,
+         sys.argv[3] if len(sys.argv) > 3 else "")
