@@ -91,6 +91,18 @@ def main():
                                             b4cfg)
     rtf_b4 = measure(b4params)
 
+    # bunch=4 + sparse KERNEL path: quality-gated by the
+    # b4gb64_noise_sparse arm of validate_bunch4_recovery (Bark-LSD
+    # 0.567 sparse-trained vs 0.600 dense at 400 ep/96 utts — sparse
+    # TRAINING is better, as for bunch=1/2).  Measured SLOWER than
+    # the dense path at bunch=4 (the recurrent matmul is amortised
+    # over 4 samples, so block bookkeeping outweighs the saved
+    # FLOPs): deploy sparse-trained weights through the DENSE kernel
+    # path (identical output — the pruned blocks are zeros).
+    b4s = lpcnet_bunched.sparsify_gru_a4(b4params, 0.2, block=(64, 64))
+    b4pattern = derive_block_pattern(b4s.base.gru_a.wh, (64, 64))
+    rtf_b4_sparse = measure(b4s, b4pattern)
+
     # encoder-side RTF (closed-loop scan with in-scan m-best VQ over
     # the production 256+1024x2/16+512 books) — the chain is
     # vocoder-bound, so this is reported as an extra, not the headline
@@ -116,7 +128,8 @@ def main():
         times.append(time.perf_counter() - t0)
     rtf_enc = batch * seconds / min(times)
 
-    rtf = max(rtf_dense, rtf_sparse, rtf_bunched, rtf_b4)
+    rtf = max(rtf_dense, rtf_sparse, rtf_bunched, rtf_b4,
+              rtf_b4_sparse)
     print(json.dumps({
         "metric": "lpcnet_synthesis_aggregate_rtf",
         "value": round(rtf, 1),
@@ -126,6 +139,7 @@ def main():
         "sparse_rtf_d0.2": round(rtf_sparse, 1),
         "bunched_sparse_rtf": round(rtf_bunched, 1),
         "bunch4_rtf": round(rtf_b4, 1),
+        "bunch4_sparse_rtf": round(rtf_b4_sparse, 1),
         "encode_rtf": round(rtf_enc, 1),
     }))
 
