@@ -9,7 +9,7 @@ block-sparsity ramp to 0.2 density - synthesising through the fused
 kernel's bunch=2 + static-block-sparse path (the bench.py headline
 configuration, quality-checked here on decoded features).
 
-    python scripts/validate_flagship.py [pred_epochs] [voc_epochs] [style] [noise]
+    python scripts/validate_flagship.py [pred_epochs] [voc_epochs] [style] [noise] [noise_warmup_frac]
 
 style defaults to "speech"; pass "speech_hard" for the multi-speaker +
 additive-noise stress regime (round-2 verdict item 10).
@@ -33,7 +33,8 @@ OUT = "/tmp/fpsc_flagship"
 
 
 def main(pred_epochs: int = 400, voc_epochs: int = 400,
-         style: str = "speech", noise: int = 2):
+         style: str = "speech", noise: int = 2,
+         noise_warmup: float = 0.0):
     import jax
     import jax.numpy as jnp
 
@@ -97,6 +98,7 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
         "lpcnet.sparsify_start=200",
         f"lpcnet.sparsify_end={voc_epochs * 4}",
         f"lpcnet.noise_levels={noise}",
+        f"lpcnet.noise_warmup_frac={noise_warmup}",
     ])
     t0 = time.time()
     voc_params, ce = train_lpcnet.run(cfg_v)
@@ -154,4 +156,5 @@ if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
          int(sys.argv[2]) if len(sys.argv) > 2 else 400,
          sys.argv[3] if len(sys.argv) > 3 else "speech",
-         int(sys.argv[4]) if len(sys.argv) > 4 else 2)
+         int(sys.argv[4]) if len(sys.argv) > 4 else 2,
+         float(sys.argv[5]) if len(sys.argv) > 5 else 0.0)

@@ -132,6 +132,26 @@ def test_file_codec_roundtrip(tmp_path):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_file_codec_mask_path_roundtrip(tmp_path):
+    """The learned-mask encoder (the reference's deployed path) rides
+    the same container: flags round-trip and decode works from the
+    stream alone."""
+    cb_path = _write_artifacts(tmp_path)
+    wav = _write_wav(tmp_path, "u1", seed=12)
+    cfg = _cfg(cb_path, ["codec.use_mask=true", "codec.mask_scale=500"])
+    arts = cli.load_artifacts(cfg)
+    out = str(tmp_path / "m.fpsc")
+    cli.encode_paths(cfg, [wav], out, artifacts=arts)
+    meta = container.read_fpsc(out)["meta"]
+    assert meta["use_mask"] and meta["mask_scale"] == pytest.approx(500)
+    voc = cli._load_vocoder(cfg, __import__(
+        "fpsc_tpu.train.checkpoint", fromlist=["checkpoint"]))
+    res = cli.decode_file(cfg, out, str(tmp_path / "dec_m"),
+                          use_pallas=False, artifacts=arts,
+                          vocoder_params=voc)
+    assert np.isfinite(res[0]["wav"]).all() and res[0]["wav"].std() > 0
+
+
 def test_file_codec_preset_reduces_rate(tmp_path):
     cb_path = _write_artifacts(tmp_path)
     wav = _write_wav(tmp_path, "u1", seed=9)
