@@ -31,7 +31,8 @@ import numpy as np
 OUT = "/tmp/fpsc_mask_flagship"
 
 
-def main(pred_epochs: int = 400, voc_epochs: int = 400):
+def main(pred_epochs: int = 400, voc_epochs: int = 400,
+         noise: int = 2, noise_warmup: float = 0.5):
     import jax
     import jax.numpy as jnp
 
@@ -97,6 +98,11 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
         "lpcnet.gru_a_density=0.2",
         "lpcnet.sparsify_start=200",
         f"lpcnet.sparsify_end={voc_epochs * 4}",
+        # production vocoder recipe: noise injection with the clean
+        # warmup ramp (VALIDATION.md round 3 — ramp ties always-on
+        # noise per epoch and wins per wall-second)
+        f"lpcnet.noise_levels={noise}",
+        f"lpcnet.noise_warmup_frac={noise_warmup}",
     ])
     t0 = time.time()
     voc_params, ce = train_lpcnet.run(cfg_v)
@@ -143,4 +149,6 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 400)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 400,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+         float(sys.argv[4]) if len(sys.argv) > 4 else 0.5)
