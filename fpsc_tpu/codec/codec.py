@@ -60,15 +60,11 @@ def encode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
             "indices": out["indices"], "counts": counts}
 
 
-def decode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
-           ind1: jax.Array, ind2: jax.Array, indices: Dict,
-           pitch: jax.Array) -> jax.Array:
-    """Reconstruct coded frames from transmitted data only.
-
-    ind1/ind2: (B, L) bools; indices: encoder index streams;
-    pitch: (B, L, 2) pitch features (coded separately upstream).
-    Returns (B, L, 20) normalised coded frames == encode()['coded'].
-    """
+def dequantize_residual(codebooks: fp.Codebooks, ind1: jax.Array,
+                        ind2: jax.Array, indices: Dict) -> jax.Array:
+    """Transmitted index streams -> (B, L, 18) dequantised residuals
+    (the per-frame above/below-threshold codebook selection of
+    reference wavernn.py:213-239, batched)."""
     def safe(idx):
         return jnp.maximum(idx, 0)
 
@@ -86,7 +82,19 @@ def decode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
         rv_below = jnp.zeros_like(rv_above)
     rv = jnp.where(ind2[..., None], rv_above, rv_below)
 
-    r_qtz = jnp.concatenate([r0[..., None], rv], axis=-1)
+    return jnp.concatenate([r0[..., None], rv], axis=-1)
+
+
+def decode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
+           ind1: jax.Array, ind2: jax.Array, indices: Dict,
+           pitch: jax.Array) -> jax.Array:
+    """Reconstruct coded frames from transmitted data only.
+
+    ind1/ind2: (B, L) bools; indices: encoder index streams;
+    pitch: (B, L, 2) pitch features (coded separately upstream).
+    Returns (B, L, 20) normalised coded frames == encode()['coded'].
+    """
+    r_qtz = dequantize_residual(codebooks, ind1, ind2, indices)
     return fp.decoder(params, pitch, r_qtz)
 
 

@@ -1,0 +1,137 @@
+"""Packet-loss concealment for the closed-loop feature codec.
+
+The reference has no loss story at all (its encoder writes `.npy`
+feature files, reference src/generate_qtz_features.py:49-72); a
+deployed low-bitrate codec lives on lossy transports, and THIS codec's
+architecture gives concealment for free: the decoder is the same
+closed-loop predictor as the encoder (frame_predictor.decoder), so on
+a lost frame the receiver simply lets the predictor FREE-RUN (residual
+= 0 -> the frame becomes the model's own prediction), holds the pitch
+track, and keeps the GRU state flowing.  When packets return, the
+received residuals are applied to the receiver's (slightly drifted)
+prediction and the error contracts back through the closed loop —
+exactly the property that makes residual coding work in the first
+place.
+
+Concealment policy (standard PLC practice, cf. LPCNet's PLC):
+  * residual := 0 on lost frames (predictor free-run);
+  * pitch/corr := held from the last received frame;
+  * after `fade_after` consecutive lost frames the energy cepstrum c0
+    is faded by `fade_step` per frame (features are in MAXI-normalised
+    log10-energy units, so 0.012 * 24.1 ~ 2.9 dB per 10 ms frame:
+    a long burst fades to silence over ~100 ms instead of freezing on
+    a synthetic vowel).  The faded frame is also what feeds back into
+    the predictor, so the decoder's state tracks its own output.
+
+With `lost` all-False the scan is arithmetically identical to
+frame_predictor.decoder (pinned in tests/test_plc.py).
+
+Loss-mask helpers simulate iid and bursty (Gilbert) channels; packet-
+level simulation pairs with range_coder.pack_packets, whose packets
+are INDEPENDENTLY decodable (fresh prior-seeded entropy models per
+packet) so a lost packet never desyncs the stream.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpsc_tpu.codec.codec import dequantize_residual
+from fpsc_tpu.models import frame_predictor as fp
+
+
+def conceal_decode(params: fp.FramePredictorParams,
+                   codebooks: fp.Codebooks,
+                   ind1: jax.Array, ind2: jax.Array, indices: Dict,
+                   pitch: jax.Array, lost: jax.Array,
+                   fade_after: int = 3,
+                   fade_step: float = 0.012,
+                   freeze: bool = False) -> jax.Array:
+    """Closed-loop decode with frame-erasure concealment.
+
+    Args are those of codec.decode plus `lost` (B, L) bool — frames
+    whose payload never arrived (their ind/index/pitch rows are
+    ignored).  Returns (B, L, 20) normalised coded frames; on lost
+    frames the predictor free-runs with held pitch and (past
+    `fade_after` consecutive losses) a c0 fade of `fade_step`
+    normalised units per frame.
+
+    freeze=True swaps the free-run policy for the classic
+    repeat-last-frame baseline (lost frames copy the previous decoded
+    frame; the predictor state still advances on the held input) —
+    kept as the comparison arm for scripts/validate_plc.py.
+    """
+    r = dequantize_residual(codebooks, ind1, ind2, indices)
+    b = pitch.shape[0]
+    h1 = jnp.zeros((b, params.rnn1.units), r.dtype)
+    h2 = jnp.zeros((b, params.rnn2.units), r.dtype)
+    prev = jnp.zeros((b, fp.NB_CEPS), r.dtype)
+    prev_pitch = jnp.zeros((b, pitch.shape[-1]), pitch.dtype)
+    run = jnp.zeros((b,), r.dtype)
+
+    xs = {"pitch": jnp.swapaxes(pitch, 0, 1),
+          "r": jnp.swapaxes(r, 0, 1),
+          "lost": jnp.swapaxes(lost, 0, 1)}
+    fade_hold = jnp.asarray(fade_after, r.dtype)
+    fade = jnp.asarray(fade_step, r.dtype)
+
+    def scan_step(carry, x):
+        h1, h2, prev, prev_pitch, run = carry
+        keep = 1.0 - x["lost"].astype(r.dtype)
+        pit = jnp.where(x["lost"][:, None], prev_pitch, x["pitch"])
+        inp = jnp.concatenate([prev, pit], axis=-1)
+        f_out, h1, h2 = fp.step(params, h1, h2, inp)
+        run = (run + 1.0) * (1.0 - keep)   # consecutive-loss counter
+        att = jnp.maximum(run - fade_hold, 0.0) * fade
+        frame = f_out + x["r"] * keep[:, None]
+        if freeze:
+            frame = jnp.where(x["lost"][:, None], prev, frame)
+        frame = frame.at[:, 0].add(-att)
+        return ((h1, h2, frame, pit, run),
+                jnp.concatenate([frame, pit], axis=-1))
+
+    _, ys = jax.lax.scan(
+        scan_step, (h1, h2, prev, prev_pitch, run), xs)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+# --------------------------------------------------------------------------
+# Channel simulation (host-side numpy)
+# --------------------------------------------------------------------------
+
+def random_loss_mask(rng: np.random.RandomState, b: int, length: int,
+                     rate: float) -> np.ndarray:
+    """iid frame-erasure mask (B, L); frame 0 is always delivered
+    (codecs resend state on session start)."""
+    m = rng.rand(b, length) < rate
+    m[:, 0] = False
+    return m
+
+
+def burst_loss_mask(rng: np.random.RandomState, b: int, length: int,
+                    rate: float, mean_burst: float = 4.0) -> np.ndarray:
+    """Gilbert 2-state channel: bursts of mean `mean_burst` frames at
+    an average loss `rate`.  p(good->bad) and p(bad->good) solve the
+    stationary equations for those targets."""
+    p_rec = 1.0 / max(mean_burst, 1.0)
+    p_loss = rate * p_rec / max(1.0 - rate, 1e-6)
+    m = np.zeros((b, length), bool)
+    for i in range(b):
+        bad = False
+        for t in range(1, length):
+            bad = (rng.rand() < p_loss) if not bad \
+                else (rng.rand() >= p_rec)
+            m[i, t] = bad
+    return m
+
+
+def packet_loss_mask(rng: np.random.RandomState, n_packets: int,
+                     rate: float) -> np.ndarray:
+    """Packet-level iid erasures (first packet always delivered);
+    expand to frames via np.repeat(mask, packet_frames)[:L]."""
+    m = rng.rand(n_packets) < rate
+    m[0] = False
+    return m

@@ -555,6 +555,106 @@ def unpack_utterance_rc(data: bytes, sizes: Dict,
             "pitch": dequantize_pitch(tc.pcodes)}
 
 
+def pack_packets(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
+                 packet_frames: int, static_models: Dict = None,
+                 priors: Dict = None, orders: Dict = None) -> list:
+    """Pack one utterance as INDEPENDENTLY decodable packets of
+    `packet_frames` frames each (the last may be short).
+
+    Every packet restarts the entropy models from the shared priors
+    and its cross-frame contexts from scratch (pitch is coded absolute
+    on each packet's first frame), so the loss of any packet leaves
+    every other packet exactly decodable — the property a lossy
+    transport needs (codec/plc.py).  The cost is the per-packet model
+    restart + 4-byte range-coder flush + 1-byte frame-count header;
+    measured as a rate-vs-packet-size curve in
+    scripts/validate_plc.py.  Returns a list of payload bytes.
+    """
+    ind1 = np.asarray(ind1)
+    ind2 = np.asarray(ind2)
+    pcodes = np.asarray(pcodes)
+    ivq = np.atleast_2d(np.asarray(indices["vq"]))
+    ivq_bl = np.atleast_2d(np.asarray(indices["vq_bl"]))
+    iscl = np.asarray(indices["scl"])
+    iscl_bl = np.asarray(indices["scl_bl"])
+    length = len(ind1)
+    assert 1 <= packet_frames <= 255, packet_frames
+    out = []
+    for s in range(0, length, packet_frames):
+        e = min(s + packet_frames, length)
+        tc = _Transcoder(sizes, static_models, priors, decode=False,
+                         length=e - s, orders=orders)
+        tc.ind1 = ind1[s:e].astype(int)
+        tc.ind2 = ind2[s:e].astype(int)
+        tc.iscl = iscl[s:e]
+        tc.iscl_bl = iscl_bl[s:e]
+        tc.ivq = ivq[s:e]
+        tc.ivq_bl = ivq_bl[s:e]
+        tc.pcodes = pcodes[s:e]
+        tc.run()
+        out.append(bytes([e - s]) + tc.coder.finish())
+    return out
+
+
+def unpack_packets(payloads: list, sizes: Dict, packet_frames: int,
+                   total_frames: int = None,
+                   static_models: Dict = None, priors: Dict = None,
+                   orders: Dict = None) -> Dict:
+    """Inverse of pack_packets over a lossy transport.
+
+    payloads: list with None for packets the transport dropped.
+    packet_frames / total_frames reconstruct the frame positions of
+    lost packets (total_frames is only needed when the LAST packet —
+    the one that may be short — was itself lost).  Returns the
+    unpack_utterance_rc layout plus `lost` (L,) bool; lost frames
+    carry placeholder rows (ind False, indices -1, pitch 0) that
+    codec/plc.conceal_decode ignores.
+    """
+    from fpsc_tpu.codec.bitstream import dequantize_pitch
+
+    spans = []           # (n_frames, payload-or-None)
+    pos = 0
+    for i, p in enumerate(payloads):
+        if p is not None:
+            n = p[0]
+        elif i < len(payloads) - 1 or total_frames is None:
+            n = packet_frames
+        else:
+            n = total_frames - pos
+        spans.append((n, p))
+        pos += n
+    length = pos
+    n_vq = max(len(sizes["vq"]), 1)
+    n_vq_bl = max(len(sizes.get("vq_bl", [])), 1)
+    ind1 = np.zeros(length, bool)
+    ind2 = np.zeros(length, bool)
+    iscl = np.full(length, -1, np.int32)
+    iscl_bl = np.full(length, -1, np.int32)
+    ivq = np.full((length, n_vq), -1, np.int32)
+    ivq_bl = np.full((length, n_vq_bl), -1, np.int32)
+    pcodes = np.zeros((length, 2), np.int64)
+    lost = np.zeros(length, bool)
+    pos = 0
+    for n, p in spans:
+        if p is None:
+            lost[pos:pos + n] = True
+        else:
+            tc = _Transcoder(sizes, static_models, priors, decode=True,
+                             data=p[1:], length=n, orders=orders).run()
+            ind1[pos:pos + n] = tc.ind1
+            ind2[pos:pos + n] = tc.ind2
+            iscl[pos:pos + n] = tc.iscl
+            iscl_bl[pos:pos + n] = tc.iscl_bl
+            ivq[pos:pos + n] = tc.ivq
+            ivq_bl[pos:pos + n] = tc.ivq_bl
+            pcodes[pos:pos + n] = tc.pcodes
+        pos += n
+    return {"ind1": ind1, "ind2": ind2,
+            "indices": {"scl": iscl, "scl_bl": iscl_bl,
+                        "vq": ivq, "vq_bl": ivq_bl},
+            "pitch": dequantize_pitch(pcodes), "lost": lost}
+
+
 class StreamingRangeEncoder:
     """Frame-by-frame entropy ENCODER over the pack_utterance_rc
     format (no length header; the byte stream is open-ended).

@@ -1,0 +1,230 @@
+"""Packet-loss robustness at the PRODUCTION config: packetized
+bitstream overhead + concealment quality under simulated loss.
+
+The reference writes feature files to disk and has no transport story
+(src/generate_qtz_features.py:49-72); a deployed low-bitrate codec
+needs one.  This validates the two halves built in round 3:
+
+1. `range_coder.pack_packets` — INDEPENDENTLY decodable packets
+   (fresh prior-seeded models per packet): measure the rate overhead
+   vs packet size against the whole-utterance packer, and verify the
+   lossless packetized decode is index-exact.
+2. `codec/plc.conceal_decode` — receiver-side concealment (predictor
+   free-run, pitch hold, energy fade): drop packets at 5/10/20% (iid)
+   and 10% bursty (mean 4 frames), decode + synthesize through the
+   SAVED flagship vocoder, and measure decoded-audio Bark-LSD vs the
+   lossless decode, the repeat-last-frame baseline, and the noise
+   floor.
+
+Reuses the saved flagship artifacts (run validate_flagship.py first):
+
+    python scripts/validate_plc.py [label] [epoch]
+"""
+import glob
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+OUT = "/tmp/fpsc_flagship"
+
+
+def main(label=None, epoch=None):
+    import jax
+    import jax.numpy as jnp
+
+    from fpsc_tpu.codec import bitstream as bs
+    from fpsc_tpu.codec import plc
+    from fpsc_tpu.codec import range_coder as rc
+    from fpsc_tpu.codec.codec import decode, encode
+    from fpsc_tpu.config.config import Config, apply_overrides
+    from fpsc_tpu.data.dataset import build_dataset, predictor_inputs
+    from fpsc_tpu.dsp import constants as C
+    from fpsc_tpu.train import checkpoint as ckpt
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    from fpsc_tpu.train.train_frame import build_model
+    from scripts.validate_rate_control import newest_epoch, newest_label
+
+    label = label or newest_label(OUT, "flag_")
+    epoch = epoch if epoch is not None else newest_epoch(OUT, label)
+    print(f"artifacts: {label} epoch {epoch}", flush=True)
+
+    cfg = Config(label=label)
+    apply_overrides(cfg, [
+        "data.synthetic=true", "data.synthetic_style=speech",
+        "data.synthetic_utterances=96",
+        "data.chunks=6", "data.batch_size=16",
+        "predictor.gru_units1=384", "predictor.gru_units2=128",
+        f"train.save_dir={OUT}",
+        f"codec.codebook_path={OUT}/cb.npz",
+    ])
+    params = build_model(cfg, jax.random.PRNGKey(cfg.train.seed))
+    payload = ckpt.load(ckpt.checkpoint_path(OUT, label, epoch))
+    params = ckpt.restore_params(params, payload, "predictor")
+    codebooks = ckpt.load_codebooks(cfg.codec.codebook_path)
+    sizes = codebook_sizes(codebooks)
+    orders = rc.scalar_orders(codebooks)
+    pitch_scale = C.MAXI if cfg.data.normalize else 1.0
+
+    # calibration priors (the deploy-time artifact set, as in
+    # validate_rate_control.py)
+    ds_cal = build_dataset(cfg.data, "train")
+    cal = next(ds_cal.iter_batches(16, seed=0))
+    feat_cal = predictor_inputs(cal, cfg.data.normalize)
+    enc_cal = encode(params, codebooks, jnp.asarray(feat_cal))
+    from fpsc_tpu.codec.rate_control import _streams_for
+    priors = rc.collect_priors(
+        _streams_for(enc_cal, feat_cal, pitch_scale), sizes,
+        orders=orders)
+
+    ds_val = build_dataset(cfg.data, "val")
+    val = next(ds_val.iter_batches(8, seed=0))
+    feat_val = predictor_inputs(val, cfg.data.normalize)
+    enc = encode(params, codebooks, jnp.asarray(feat_val))
+    ind1 = np.asarray(enc["ind1"])
+    ind2 = np.asarray(enc["ind2"])
+    idx = {k: np.asarray(v) for k, v in enc["indices"].items()}
+    length = ind1.shape[1]
+
+    # --- 1. packetization overhead curve (held-out, real coder) ---
+    print("=== 1. packet-size rate overhead (independently decodable "
+          "packets) ===", flush=True)
+    kw = dict(priors=priors, orders=orders)
+    per_utt = []
+    for b in range(ind1.shape[0]):
+        pcodes = bs.quantize_pitch(feat_val[b, :, 18:] * pitch_scale)
+        row = {k: v[b] for k, v in idx.items()}
+        plain = len(rc.pack_utterance_rc(ind1[b], ind2[b], row,
+                                         pcodes, sizes, **kw))
+        per_utt.append((row, pcodes, plain))
+    base_bps = np.mean([p * 8 / length * 100 for _, _, p in per_utt])
+    print(f"  whole-utterance: {base_bps:7.1f} b/s", flush=True)
+    pf_grid = [2, 5, 10, 25, 50]
+    pkt_bps = {}
+    for pf in pf_grid:
+        tot = 0
+        for b, (row, pcodes, _) in enumerate(per_utt):
+            pkts = rc.pack_packets(ind1[b], ind2[b], row, pcodes,
+                                   sizes, packet_frames=pf, **kw)
+            tot += sum(len(p) for p in pkts)
+            if b == 0:
+                got = rc.unpack_packets(pkts, sizes, packet_frames=pf,
+                                        **kw)
+                np.testing.assert_array_equal(got["ind1"], ind1[b])
+                np.testing.assert_array_equal(got["ind2"], ind2[b])
+                for k in row:
+                    live = row[k] >= 0
+                    np.testing.assert_array_equal(
+                        np.asarray(got["indices"][k]).reshape(
+                            row[k].shape)[live],
+                        row[k][live], err_msg=k)
+        bps = tot * 8 / (len(per_utt) * length) * 100
+        pkt_bps[pf] = bps
+        print(f"  {pf:3d} frames/packet ({pf * 10:4d} ms): "
+              f"{bps:7.1f} b/s  (+{bps / base_bps - 1:.1%})",
+              flush=True)
+    # 100 ms packets must stay within 25% of the whole-utterance rate
+    assert pkt_bps[10] < base_bps * 1.25, (pkt_bps[10], base_bps)
+
+    # --- 2. concealment quality through the saved vocoder ---
+    voc_dir = os.path.join(OUT, f"{label}_voc_s")
+    assert os.path.isdir(voc_dir), "run validate_flagship.py first"
+    from fpsc_tpu.dsp.ceps2lpc import ceps2lpc
+    from fpsc_tpu.dsp.emphasis import deemphasis
+    from fpsc_tpu.eval.metrics import log_spectral_distance
+    from fpsc_tpu.models import lpcnet, lpcnet_bunched
+    from fpsc_tpu.ops.lpcnet_sampler import (auto_block_pattern,
+                                             pallas_generate)
+
+    vep = max(int(m.group(1)) for f in glob.glob(
+        os.path.join(voc_dir, "*.ckpt"))
+        if (m := re.search(r"_(\d+)\.ckpt$", f)))
+    lcfg = lpcnet.LPCNetConfig(gru_b_units=32)
+    voc = lpcnet_bunched.init_bunched(jax.random.PRNGKey(0), lcfg)
+    vpayload = ckpt.load(ckpt.checkpoint_path(
+        OUT, f"{label}_voc_s", vep))
+    voc = ckpt.restore_params(voc, vpayload, "vocoder (bunch=2)")
+    pat = auto_block_pattern(voc)
+
+    n_eval = 4
+    truth = [deemphasis(val["x"][i]) for i in range(n_eval)]
+    pitch = jnp.asarray(feat_val[:n_eval, :, 18:])
+    sub = {k: jnp.asarray(v[:n_eval]) for k, v in idx.items()}
+    i1 = jnp.asarray(ind1[:n_eval])
+    i2 = jnp.asarray(ind2[:n_eval])
+
+    def audio_lsd(coded):
+        coded = np.asarray(coded)
+        coded_un = coded * pitch_scale
+        periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
+                   ).astype(np.int32)
+        _, lpc, _ = ceps2lpc(jnp.asarray(
+            coded_un.reshape(-1, 20)[:, :18]))
+        lpc = np.asarray(lpc).reshape(coded_un.shape[0], -1, 16)
+        y = np.asarray(pallas_generate(
+            voc, jnp.asarray(coded), jnp.asarray(periods),
+            jnp.asarray(lpc), jax.random.PRNGKey(7),
+            corr=jnp.asarray(coded_un[..., 19]), gru_a_pattern=pat))
+        lsds = []
+        for i in range(n_eval):
+            n = min(len(truth[i]), y.shape[1])
+            lsds.append(log_spectral_distance(truth[i][:n], y[i, :n]))
+        return float(np.mean(lsds))
+
+    print("=== 2. decoded-audio Bark-LSD under loss (conceal vs "
+          "freeze) ===", flush=True)
+    t0 = time.time()
+    lossless = audio_lsd(decode(params, codebooks, i1, i2, sub, pitch))
+    noise_sig = np.random.RandomState(0).randn(
+        len(truth[0])).astype(np.float32) * truth[0].std()
+    lsd_noise = log_spectral_distance(truth[0], noise_sig)
+    print(f"  lossless {lossless:.3f}; noise floor {lsd_noise:.3f}",
+          flush=True)
+
+    rng = np.random.RandomState(7)
+    pf = 5  # 50 ms packets
+    n_pkts = (length + pf - 1) // pf
+    rows = []
+    for tag, mask in [
+        ("iid  5%", np.repeat(np.stack([plc.packet_loss_mask(
+            rng, n_pkts, 0.05) for _ in range(n_eval)]), pf,
+            axis=1)[:, :length]),
+        ("iid 10%", np.repeat(np.stack([plc.packet_loss_mask(
+            rng, n_pkts, 0.10) for _ in range(n_eval)]), pf,
+            axis=1)[:, :length]),
+        ("iid 20%", np.repeat(np.stack([plc.packet_loss_mask(
+            rng, n_pkts, 0.20) for _ in range(n_eval)]), pf,
+            axis=1)[:, :length]),
+        ("burst 10%", plc.burst_loss_mask(rng, n_eval, length, 0.10,
+                                          mean_burst=4.0)),
+    ]:
+        lost = jnp.asarray(mask)
+        con = plc.conceal_decode(params, codebooks, i1, i2, sub,
+                                 pitch, lost)
+        frz = plc.conceal_decode(params, codebooks, i1, i2, sub,
+                                 pitch, lost, freeze=True)
+        l_con, l_frz = audio_lsd(con), audio_lsd(frz)
+        rows.append((tag, float(mask.mean()), l_con, l_frz))
+        print(f"  {tag:9s} (frame rate {mask.mean():.1%}): "
+              f"conceal {l_con:.3f}  freeze {l_frz:.3f}", flush=True)
+    print(f"(audio section {time.time()-t0:.0f}s)", flush=True)
+
+    # contracts: every concealment stays far below the noise floor,
+    # degradation is graceful (<= 0.25 LSD over lossless at 10% iid),
+    # and loss hurts monotonically across the iid grid (tolerance for
+    # sampling noise)
+    for tag, fr, l_con, l_frz in rows:
+        assert l_con < 0.7 * lsd_noise, (tag, l_con, lsd_noise)
+    iid = [r[2] for r in rows[:3]]
+    assert iid[1] <= lossless + 0.25, (iid[1], lossless)
+    assert iid[0] <= iid[2] + 0.02, iid
+    print("PLC VALIDATION PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None,
+         int(sys.argv[2]) if len(sys.argv) > 2 else None)

@@ -1,0 +1,237 @@
+"""Packet-loss concealment + packetized bitstream tests.
+
+Contracts:
+  * conceal_decode with no loss is arithmetically identical to
+    codec.decode (same scan, keep=1 / fade=0 are exact no-ops);
+  * with everything lost it free-runs the predictor (slow-oracle
+    per-frame Python loop, house convention);
+  * after a burst the closed loop CONTRACTS the error (the property
+    residual coding rests on);
+  * pack_packets packets decode independently: any subset lost leaves
+    every other frame bit-exact, and no loss reproduces the plain
+    pack_utterance_rc symbol streams.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpsc_tpu.codec import bitstream as bs
+from fpsc_tpu.codec import plc
+from fpsc_tpu.codec import range_coder as rc
+from fpsc_tpu.codec.codec import decode, encode
+from fpsc_tpu.models import frame_predictor as fp
+
+RNG = np.random.RandomState(11)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = fp.FramePredictorConfig(gru_units1=32, gru_units2=16)
+    params = fp.init_frame_predictor(jax.random.PRNGKey(3), cfg)
+    r = np.random.RandomState(5)
+    cbs = fp.Codebooks(
+        scl=jnp.asarray(np.sort(r.randn(16)).astype(np.float32) * 0.1),
+        vq=(jnp.asarray(r.randn(32, 17).astype(np.float32) * 0.1),
+            jnp.asarray(r.randn(16, 17).astype(np.float32) * 0.03)),
+        scl_bl=jnp.asarray(np.sort(r.randn(4)).astype(np.float32) * 0.02),
+        vq_bl=(jnp.asarray(r.randn(8, 17).astype(np.float32) * 0.02),),
+    )
+    feat = (RNG.randn(2, 24, 20) * 0.3).astype(np.float32)
+    enc = encode(params, cbs, jnp.asarray(feat))
+    return params, cbs, feat, enc
+
+
+def test_conceal_no_loss_matches_decode(setup):
+    params, cbs, feat, enc = setup
+    pitch = jnp.asarray(feat[..., 18:])
+    dec = decode(params, cbs, enc["ind1"], enc["ind2"], enc["indices"],
+                 pitch)
+    lost = jnp.zeros(feat.shape[:2], bool)
+    con = plc.conceal_decode(params, cbs, enc["ind1"], enc["ind2"],
+                             enc["indices"], pitch, lost)
+    np.testing.assert_array_equal(np.asarray(con), np.asarray(dec))
+
+
+def test_conceal_all_lost_free_runs_predictor(setup):
+    """Everything lost -> pure prediction from zero state with held
+    (zero) pitch; slow oracle is a per-frame Python loop."""
+    params, cbs, feat, enc = setup
+    b, length = feat.shape[:2]
+    pitch = jnp.asarray(feat[..., 18:])
+    lost = jnp.ones((b, length), bool)
+    con = np.asarray(plc.conceal_decode(
+        params, cbs, enc["ind1"], enc["ind2"], enc["indices"], pitch,
+        lost, fade_step=0.0))
+
+    h1 = jnp.zeros((b, params.rnn1.units), jnp.float32)
+    h2 = jnp.zeros((b, params.rnn2.units), jnp.float32)
+    prev = jnp.zeros((b, 18), jnp.float32)
+    zero_pitch = jnp.zeros((b, 2), jnp.float32)
+    for t in range(length):
+        inp = jnp.concatenate([prev, zero_pitch], axis=-1)
+        f_out, h1, h2 = fp.step(params, h1, h2, inp)
+        prev = f_out
+        np.testing.assert_allclose(con[:, t, :18], np.asarray(prev),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(con[:, t, 18:], 0.0)
+
+
+def test_conceal_recovery_contracts_error(setup):
+    """Frames before a burst are exact; after it, the received
+    residuals pull the decoder back toward the encoder's track."""
+    params, cbs, feat, enc = setup
+    pitch = jnp.asarray(feat[..., 18:])
+    lost = np.zeros(feat.shape[:2], bool)
+    lost[:, 5:9] = True
+    con = np.asarray(plc.conceal_decode(
+        params, cbs, enc["ind1"], enc["ind2"], enc["indices"], pitch,
+        jnp.asarray(lost)))
+    coded = np.asarray(enc["coded"])
+    err = np.abs(con[..., :18] - coded[..., :18]).mean(axis=(0, 2))
+    np.testing.assert_allclose(err[:5], 0.0, atol=1e-6)
+    assert err[9] > 0  # state drifted through the burst
+    # closed-loop contraction: the tail error is well below the error
+    # at the first received frame after the burst
+    assert err[-4:].mean() < 0.5 * err[9], err
+
+
+def test_fade_attenuates_c0_on_long_burst(setup):
+    params, cbs, feat, enc = setup
+    pitch = jnp.asarray(feat[..., 18:])
+    lost = np.zeros(feat.shape[:2], bool)
+    lost[:, 6:] = True
+    kw = dict(fade_after=3, fade_step=0.02)
+    con = np.asarray(plc.conceal_decode(
+        params, cbs, enc["ind1"], enc["ind2"], enc["indices"], pitch,
+        jnp.asarray(lost), **kw))
+    ref = np.asarray(plc.conceal_decode(
+        params, cbs, enc["ind1"], enc["ind2"], enc["indices"], pitch,
+        jnp.asarray(lost), fade_after=3, fade_step=0.0))
+    # the first faded frame is lost-frame #4 (t=9); its c0 sits one
+    # fade_step below the unfaded free-run (later frames also feed the
+    # faded energy back through the predictor)
+    np.testing.assert_array_equal(con[:, :9], ref[:, :9])
+    np.testing.assert_allclose(con[:, 9, 0], ref[:, 9, 0] - 0.02,
+                               rtol=1e-5, atol=1e-6)
+    assert np.all(con[:, -1, 0] < ref[:, -1, 0] - 0.05)
+
+
+def _streams(enc, feat, i):
+    ind1 = np.asarray(enc["ind1"])[i]
+    ind2 = np.asarray(enc["ind2"])[i]
+    idx = {k: np.asarray(v)[i] for k, v in enc["indices"].items()}
+    pcodes = bs.quantize_pitch(feat[i, :, 18:])
+    return ind1, ind2, idx, pcodes
+
+
+def test_pack_packets_no_loss_matches_plain(setup):
+    params, cbs, feat, enc = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    ind1, ind2, idx, pcodes = _streams(enc, feat, 0)
+    for pf in (1, 5, 7, 24, 30):
+        pkts = rc.pack_packets(ind1, ind2, idx, pcodes,
+                               sizes, packet_frames=pf)
+        got = rc.unpack_packets(pkts, sizes, packet_frames=pf)
+        assert not got["lost"].any()
+        np.testing.assert_array_equal(got["ind1"], ind1)
+        np.testing.assert_array_equal(got["ind2"], ind2)
+        for k in idx:
+            want = np.atleast_2d(np.asarray(idx[k])) \
+                if got["indices"][k].ndim == 2 else idx[k]
+            live = np.asarray(want) >= 0
+            np.testing.assert_array_equal(
+                np.asarray(got["indices"][k])[live],
+                np.asarray(want)[live], err_msg=f"{k} pf={pf}")
+        np.testing.assert_allclose(got["pitch"],
+                                   bs.dequantize_pitch(pcodes),
+                                   rtol=1e-6)
+
+
+def test_pack_packets_lost_packets_leave_rest_exact(setup):
+    params, cbs, feat, enc = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    ind1, ind2, idx, pcodes = _streams(enc, feat, 1)
+    pf = 5
+    pkts = rc.pack_packets(ind1, ind2, idx, pcodes, sizes,
+                           packet_frames=pf)
+    lossy = list(pkts)
+    lossy[1] = None
+    lossy[3] = None
+    got = rc.unpack_packets(lossy, sizes, packet_frames=pf)
+    want_lost = np.zeros(len(ind1), bool)
+    want_lost[5:10] = True
+    want_lost[15:20] = True
+    np.testing.assert_array_equal(got["lost"], want_lost)
+    keep = ~want_lost
+    np.testing.assert_array_equal(got["ind1"][keep], ind1[keep])
+    np.testing.assert_array_equal(got["ind2"][keep], ind2[keep])
+    for k in ("scl", "vq"):
+        want = np.asarray(idx[k])
+        live = (want >= 0) & (keep[:, None] if want.ndim == 2
+                              else keep)
+        np.testing.assert_array_equal(
+            np.asarray(got["indices"][k])[live], want[live])
+
+    # losing the LAST (short) packet needs total_frames for alignment
+    lossy = list(pkts)
+    lossy[-1] = None
+    got = rc.unpack_packets(lossy, sizes, packet_frames=pf,
+                            total_frames=len(ind1))
+    assert len(got["lost"]) == len(ind1)
+    assert got["lost"][-(len(ind1) - (len(pkts) - 1) * pf):].all()
+
+
+def test_packetized_conceal_end_to_end(setup):
+    """Transport chain: packets -> drop one -> unpack -> conceal ->
+    frames before the loss match the lossless decode exactly."""
+    params, cbs, feat, enc = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    ind1, ind2, idx, pcodes = _streams(enc, feat, 0)
+    pf = 6
+    pkts = rc.pack_packets(ind1, ind2, idx, pcodes, sizes,
+                           packet_frames=pf)
+    lossy = list(pkts)
+    lossy[2] = None
+    got = rc.unpack_packets(lossy, sizes, packet_frames=pf)
+    # quantize_pitch above was fed the feature-domain pitch columns,
+    # so the dequantised track feeds decode/conceal directly
+    pitch = jnp.asarray(got["pitch"][None].astype(np.float32))
+    con = np.asarray(plc.conceal_decode(
+        params, cbs, jnp.asarray(got["ind1"][None]),
+        jnp.asarray(got["ind2"][None]),
+        {k: jnp.asarray(v[None]) for k, v in got["indices"].items()},
+        pitch, jnp.asarray(got["lost"][None])))
+    full = rc.unpack_packets(pkts, sizes, packet_frames=pf)
+    dec = np.asarray(decode(
+        params, cbs, jnp.asarray(full["ind1"][None]),
+        jnp.asarray(full["ind2"][None]),
+        {k: jnp.asarray(v[None]) for k, v in full["indices"].items()},
+        jnp.asarray(full["pitch"][None].astype(np.float32))))
+    np.testing.assert_array_equal(con[:, :12], dec[:, :12])
+    assert np.isfinite(con).all()
+
+
+def test_loss_mask_helpers():
+    rng = np.random.RandomState(0)
+    m = plc.random_loss_mask(rng, 4, 2000, 0.1)
+    assert not m[:, 0].any()
+    assert abs(m.mean() - 0.1) < 0.02
+    mb = plc.burst_loss_mask(rng, 2, 5000, 0.2, mean_burst=4.0)
+    assert abs(mb.mean() - 0.2) < 0.05
+    runs = []
+    for row in mb:
+        n = 0
+        for v in row:
+            if v:
+                n += 1
+            elif n:
+                runs.append(n)
+                n = 0
+    assert 2.5 < np.mean(runs) < 6.0, np.mean(runs)
+    mp = plc.packet_loss_mask(rng, 500, 0.3)
+    assert not mp[0] and abs(mp.mean() - 0.3) < 0.07
