@@ -23,5 +23,6 @@ run b4sparse scripts/validate_bunch4_recovery.py 400 96 b4gb64_noise,b4gb64_nois
 run flagramp scripts/validate_flagship.py 400 400 speech 2 0.5
 run mask     scripts/validate_mask_flagship.py 300 400        # noise=2 ramp 0.5 default
 run iaf      scripts/validate_iaf_distill.py 400 300
+run plc      scripts/validate_plc.py        # needs flagship artifacts
 run hardflag scripts/validate_flagship.py 300 400 speech_hard
 echo "ALL ROUND-3 VALIDATIONS DONE"
