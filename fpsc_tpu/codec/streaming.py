@@ -355,6 +355,130 @@ class StreamingVocoder:
         return ys[0] if squeeze and self.batch == 1 else ys
 
 
+def _conceal_decoder_step(params: fp.FramePredictorParams,
+                          codebooks: fp.Codebooks,
+                          fade_after: int = 3,
+                          fade_step: float = 0.012,
+                          freeze: bool = False):
+    """Per-frame decode with erasure concealment (the streaming twin
+    of codec/plc.conceal_decode — same policy, same arithmetic):
+    (state, ind1, ind2, indices, pitch (B,2), lost (B,)) ->
+    (state, coded (B, 20)).  State adds (prev_pitch, loss run) to the
+    plain decoder's carry."""
+    from fpsc_tpu.quant.scalar import scl_dequantize
+    from fpsc_tpu.quant.vq import vq_dequantize
+
+    def step(state, ind1, ind2, indices, pitch_rows, lost):
+        h1, h2, prev, prev_pitch, run = state
+        safe = lambda i: jnp.maximum(i, 0)
+        r0_a = scl_dequantize(safe(indices["scl"]), codebooks.scl)
+        r0_b = (scl_dequantize(safe(indices["scl_bl"]),
+                               codebooks.scl_bl)
+                if codebooks.scl_bl is not None
+                else jnp.zeros_like(r0_a))
+        r0 = jnp.where(ind1, r0_a, r0_b)
+        rv_a = jax.vmap(lambda i: vq_dequantize(safe(i),
+                                                codebooks.vq))(
+            jnp.atleast_2d(indices["vq"]))
+        rv_b = (jax.vmap(lambda i: vq_dequantize(safe(i),
+                                                 codebooks.vq_bl))(
+            jnp.atleast_2d(indices["vq_bl"]))
+            if codebooks.vq_bl is not None
+            else jnp.zeros_like(rv_a))
+        rv = jnp.where(ind2[:, None], rv_a, rv_b)
+        r_qtz = jnp.concatenate([r0[:, None], rv], axis=-1)
+
+        keep = 1.0 - lost.astype(jnp.float32)
+        pit = jnp.where(lost[:, None], prev_pitch, pitch_rows)
+        x = jnp.concatenate([prev, pit], axis=-1)
+        f_out, h1, h2 = fp.step(params, h1, h2, x)
+        run = (run + 1.0) * (1.0 - keep)
+        att = jnp.maximum(run - float(fade_after), 0.0) * fade_step
+        coded = f_out + r_qtz * keep[:, None]
+        if freeze:
+            coded = jnp.where(lost[:, None], prev, coded)
+        coded = coded.at[:, 0].add(-att)
+        return ((h1, h2, coded, pit, run),
+                jnp.concatenate([coded, pit], axis=-1))
+
+    return step
+
+
+class StreamingReceiver:
+    """The far-end serving component: transmitted symbols (or a LOST
+    flag) in, 160 synthesized samples out, ONE compiled program and
+    ONE device round trip per 10 ms tick, batched over independent
+    sessions.
+
+    Pairs with range_coder.pack_packets/StreamingRangeDecoder on the
+    transport side: when a packet never arrives, call
+    process_symbols(..., lost=True) for its frames with placeholder
+    rows — the concealment policy of codec/plc.conceal_decode
+    (predictor free-run, pitch hold, c0 fade past `fade_after`
+    consecutive losses) runs inside the fused tick."""
+
+    def __init__(self, enc_params: fp.FramePredictorParams,
+                 codebooks: fp.Codebooks,
+                 voc_params: lpcnet.LPCNetParams,
+                 seed: int = 0, batch: int = 1,
+                 fade_after: int = 3, fade_step: float = 0.012):
+        self.batch = batch
+        self.key = jax.random.PRNGKey(seed)
+        self._enc_params = enc_params
+        self._voc_params = voc_params
+        self.reset()
+        dec = _conceal_decoder_step(enc_params, codebooks,
+                                    fade_after, fade_step)
+        voc = _vocoder_step(voc_params)
+
+        def tick(dec_state, voc_state, key, ind1, ind2, indices,
+                 pitch_rows, lost):
+            dec_state, coded = dec(dec_state, ind1, ind2, indices,
+                                   pitch_rows, lost)
+            voc_state, ys = voc(voc_state, key, coded[:, :20])
+            return dec_state, voc_state, jnp.concatenate(
+                [coded, ys], axis=-1)
+
+        self._tick = jax.jit(tick)
+
+    def reset(self):
+        b, ep, vp = self.batch, self._enc_params, self._voc_params
+        self.dec_state = (jnp.zeros((b, ep.rnn1.units)),
+                          jnp.zeros((b, ep.rnn2.units)),
+                          jnp.zeros((b, fp.NB_CEPS)),
+                          jnp.zeros((b, 2)),
+                          jnp.zeros((b,)))
+        self.voc_state = (jnp.zeros((b, vp.gru_a.units)),
+                          jnp.zeros((b, vp.gru_b.units)),
+                          jnp.zeros((b, C.LPC_ORDER)),
+                          jnp.zeros((b,)), jnp.zeros((b,)))
+
+    def process_symbols(self, ind1, ind2, indices: Dict,
+                        pitch_rows: np.ndarray, lost=False) -> Dict:
+        """One frame per session; `lost` is a bool or (batch,) bools —
+        True frames ignore their symbol/pitch rows (pass placeholders).
+        Returns {'coded' (B, 20), 'audio' (B, 160)} (squeezed for
+        batch=1 scalar input)."""
+        squeeze = np.ndim(pitch_rows) == 1
+        ind1 = jnp.atleast_1d(jnp.asarray(ind1, bool))
+        ind2 = jnp.atleast_1d(jnp.asarray(ind2, bool))
+        lost = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(lost, bool)), (self.batch,))
+        idx = {k: jnp.asarray(np.atleast_2d(np.asarray(v))
+                              if k in ("vq", "vq_bl")
+                              else np.atleast_1d(np.asarray(v)))
+               for k, v in indices.items()}
+        self.key, sub = jax.random.split(self.key)
+        self.dec_state, self.voc_state, out = self._tick(
+            self.dec_state, self.voc_state, sub, ind1, ind2, idx,
+            _rows(pitch_rows, self.batch, 2), lost)
+        p = np.asarray(out)                    # single host transfer
+        res = {"coded": p[:, :20], "audio": p[:, 20:]}
+        if squeeze and self.batch == 1:
+            res = {k: v[0] for k, v in res.items()}
+        return res
+
+
 class StreamingCodec:
     """Fused full-duplex tick: encode -> decode -> synthesize in ONE
     compiled program and ONE device round trip.

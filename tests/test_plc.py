@@ -216,6 +216,38 @@ def test_packetized_conceal_end_to_end(setup):
     assert np.isfinite(con).all()
 
 
+def test_streaming_receiver_matches_batch_conceal(setup):
+    """The fused receiver tick (concealing decode + vocoder, one
+    program) tracks codec/plc.conceal_decode frame-for-frame on the
+    coded features, loss or no loss, and emits audio per tick."""
+    from fpsc_tpu.codec.streaming import StreamingReceiver
+    from fpsc_tpu.models import lpcnet
+    params, cbs, feat, enc = setup
+    lcfg = lpcnet.LPCNetConfig(gru_a_units=16, gru_b_units=8,
+                               embed_dim=8, cond_units=8)
+    voc = lpcnet.init_lpcnet(jax.random.PRNGKey(1), lcfg)
+    pitch = jnp.asarray(feat[..., 18:])
+    lost = np.zeros(feat.shape[:2], bool)
+    lost[:, 4:7] = True
+    lost[:, 15] = True
+    want = np.asarray(plc.conceal_decode(
+        params, cbs, enc["ind1"], enc["ind2"], enc["indices"], pitch,
+        jnp.asarray(lost)))
+
+    recv = StreamingReceiver(params, cbs, voc, batch=feat.shape[0])
+    idx = {k: np.asarray(v) for k, v in enc["indices"].items()}
+    for t in range(feat.shape[1]):
+        out = recv.process_symbols(
+            np.asarray(enc["ind1"])[:, t], np.asarray(enc["ind2"])[:, t],
+            {k: v[:, t] for k, v in idx.items()},
+            feat[:, t, 18:], lost=lost[:, t])
+        np.testing.assert_allclose(out["coded"], want[:, t],
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"frame {t}")
+        assert out["audio"].shape == (feat.shape[0], 160)
+        assert np.isfinite(out["audio"]).all()
+
+
 def test_loss_mask_helpers():
     rng = np.random.RandomState(0)
     m = plc.random_loss_mask(rng, 4, 2000, 0.1)
