@@ -84,6 +84,20 @@ def main(n_frames: int = 50):
                            lambda t: fused.process_frame(feat[:, t]),
                            n_frames, batch)
 
+        # far-end receiver: concealing decode + vocoder in one program
+        # (10% of ticks arrive flagged lost — the concealment branch
+        # is part of the compiled tick either way)
+        from fpsc_tpu.codec.streaming import StreamingReceiver
+        recv = StreamingReceiver(fp_params, cbs, voc_params,
+                                 batch=batch)
+        lost_col = rng.rand(n_frames, batch) < 0.1
+        dt_r = bench_stage(
+            "StreamingReceiver (conceal)",
+            lambda t: recv.process_symbols(
+                out["ind1"], out["ind2"], out["indices"],
+                feat[:, t, 18:], lost=lost_col[t]),
+            n_frames, batch)
+
         # mic-to-speech: the SAME fused tick fed raw 10 ms PCM blocks
         # (on-device analysis frontend folded into the program)
         pcm = (rng.randn(batch, n_frames, 160) * 0.1).astype(np.float32)
