@@ -65,6 +65,19 @@ def conceal_decode(params: fp.FramePredictorParams,
     kept as the comparison arm for scripts/validate_plc.py.
     """
     r = dequantize_residual(codebooks, ind1, ind2, indices)
+    return conceal_decode_residual(params, r, pitch, lost,
+                                   fade_after=fade_after,
+                                   fade_step=fade_step, freeze=freeze)
+
+
+def conceal_decode_residual(params: fp.FramePredictorParams,
+                            r: jax.Array, pitch: jax.Array,
+                            lost: jax.Array, fade_after: int = 3,
+                            fade_step: float = 0.012,
+                            freeze: bool = False) -> jax.Array:
+    """conceal_decode on pre-dequantised residuals (B, L, 18) — the
+    entry FEC decoding uses, where each frame's residual may come from
+    a different codebook set (full primary vs lean redundancy)."""
     b = pitch.shape[0]
     h1 = jnp.zeros((b, params.rnn1.units), r.dtype)
     h2 = jnp.zeros((b, params.rnn2.units), r.dtype)
@@ -96,6 +109,62 @@ def conceal_decode(params: fp.FramePredictorParams,
     _, ys = jax.lax.scan(
         scan_step, (h1, h2, prev, prev_pitch, run), xs)
     return jnp.swapaxes(ys, 0, 1)
+
+
+# --------------------------------------------------------------------------
+# In-band FEC (Opus-LBRR-style redundancy over the preset machinery)
+# --------------------------------------------------------------------------
+
+def fec_requantize(fec_codebooks: fp.Codebooks, r: jax.Array,
+                   ind1: jax.Array, ind2: jax.Array):
+    """Redundant coding of the PRIMARY encoder's residual stream.
+
+    Rather than running a second closed-loop encode, the redundancy
+    requantises the residual the full encoder already computed
+    (encode()['r'], (B, L, 18)) with the lean preset's codebooks under
+    the SAME indicators — per-frame, no state.  A receiver that lost
+    only the primary packet applies this to its own prediction (which
+    tracked the full stream up to the loss), so the recovery error is
+    bounded by the lean-vs-full quantisation gap, not by free-running
+    drift.  Returns the lean-layout index dict (B, L, ...).
+    """
+    b, length, d = r.shape
+    _, idx = fp._quantize_residual(
+        fec_codebooks, r.reshape(b * length, d),
+        ind1.reshape(b * length), ind2.reshape(b * length))
+    return {k: v.reshape((b, length) + v.shape[1:])
+            for k, v in idx.items()}
+
+
+def fec_merge_residual(codebooks: fp.Codebooks,
+                       fec_codebooks: fp.Codebooks, unpacked: Dict):
+    """Receiver-side merge of range_coder.unpack_packets_fec output.
+
+    Frames whose primary packet arrived use the full-preset residual;
+    frames recovered from the NEXT packet's redundancy use the lean
+    one; frames with neither stay lost.  Returns (r (B, L, 18),
+    pitch (B, L, 2) as dequantised — divide by MAXI before
+    conceal_decode_residual when the coder packed raw-scale pitch —
+    and lost (B, L); arrays are stacked to (1, ...) when the unpacked
+    dict is single-utterance)."""
+    ind1 = jnp.atleast_2d(jnp.asarray(unpacked["ind1"]))
+    ind2 = jnp.atleast_2d(jnp.asarray(unpacked["ind2"]))
+    from_fec = jnp.atleast_2d(jnp.asarray(unpacked["from_fec"]))
+    lost = jnp.atleast_2d(jnp.asarray(unpacked["lost"]))
+
+    def lift_idx(d):
+        return {k: jnp.asarray(v)[None] if jnp.asarray(v).ndim <= 2
+                else jnp.asarray(v) for k, v in d.items()}
+
+    r_full = dequantize_residual(codebooks, ind1, ind2,
+                                 lift_idx(unpacked["indices"]))
+    r_fec = dequantize_residual(fec_codebooks, ind1, ind2,
+                                lift_idx(unpacked["fec_indices"]))
+    r = jnp.where(from_fec[..., None], r_fec, r_full)
+    pitch = jnp.asarray(unpacked["pitch"], jnp.float32)
+    if pitch.ndim == 2:
+        pitch = pitch[None]
+    return r, pitch, lost
 
 
 # --------------------------------------------------------------------------

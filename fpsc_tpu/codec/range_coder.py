@@ -570,29 +570,14 @@ def pack_packets(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
     measured as a rate-vs-packet-size curve in
     scripts/validate_plc.py.  Returns a list of payload bytes.
     """
-    ind1 = np.asarray(ind1)
-    ind2 = np.asarray(ind2)
-    pcodes = np.asarray(pcodes)
-    ivq = np.atleast_2d(np.asarray(indices["vq"]))
-    ivq_bl = np.atleast_2d(np.asarray(indices["vq_bl"]))
-    iscl = np.asarray(indices["scl"])
-    iscl_bl = np.asarray(indices["scl_bl"])
-    length = len(ind1)
+    length = len(np.asarray(ind1))
     assert 1 <= packet_frames <= 255, packet_frames
     out = []
     for s in range(0, length, packet_frames):
         e = min(s + packet_frames, length)
-        tc = _Transcoder(sizes, static_models, priors, decode=False,
-                         length=e - s, orders=orders)
-        tc.ind1 = ind1[s:e].astype(int)
-        tc.ind2 = ind2[s:e].astype(int)
-        tc.iscl = iscl[s:e]
-        tc.iscl_bl = iscl_bl[s:e]
-        tc.ivq = ivq[s:e]
-        tc.ivq_bl = ivq_bl[s:e]
-        tc.pcodes = pcodes[s:e]
-        tc.run()
-        out.append(bytes([e - s]) + tc.coder.finish())
+        out.append(bytes([e - s]) + _pack_span(
+            ind1, ind2, indices, pcodes, sizes, s, e,
+            static_models, priors, orders))
     return out
 
 
@@ -653,6 +638,148 @@ def unpack_packets(payloads: list, sizes: Dict, packet_frames: int,
             "indices": {"scl": iscl, "scl_bl": iscl_bl,
                         "vq": ivq, "vq_bl": ivq_bl},
             "pitch": dequantize_pitch(pcodes), "lost": lost}
+
+
+def _pack_span(ind1, ind2, indices: Dict, pcodes, sizes: Dict, s, e,
+               static_models, priors, orders) -> bytes:
+    """Self-contained range coding of frames [s, e) (fresh models)."""
+    tc = _Transcoder(sizes, static_models, priors, decode=False,
+                     length=e - s, orders=orders)
+    tc.ind1 = np.asarray(ind1)[s:e].astype(int)
+    tc.ind2 = np.asarray(ind2)[s:e].astype(int)
+    tc.iscl = np.asarray(indices["scl"])[s:e]
+    tc.iscl_bl = np.asarray(indices["scl_bl"])[s:e]
+    tc.ivq = np.atleast_2d(np.asarray(indices["vq"]))[s:e]
+    tc.ivq_bl = np.atleast_2d(np.asarray(indices["vq_bl"]))[s:e]
+    tc.pcodes = np.asarray(pcodes)[s:e]
+    tc.run()
+    return tc.coder.finish()
+
+
+def pack_packets_fec(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
+                     fec_indices: Dict, fec_sizes: Dict,
+                     packet_frames: int, static_models: Dict = None,
+                     priors: Dict = None, fec_priors: Dict = None,
+                     orders: Dict = None) -> list:
+    """pack_packets with in-band redundancy (Opus-LBRR style).
+
+    Packet i carries its primary span (full-preset streams) PLUS a
+    redundant coding of span i-1 under the lean preset
+    (`fec_indices` from codec/plc.fec_requantize, `fec_sizes` from
+    the lean codebook set; indicators and pitch ride again in the
+    redundant body so a receiver holding ONLY packet i+1 decodes span
+    i completely).  An isolated packet loss is then fully recovered
+    one packet late; concealment remains for back-to-back losses.
+    Packet layout: [1B primary n | 1B fec n | 2B primary body len |
+    primary body | fec body], every body self-contained.
+    """
+    length = len(np.asarray(ind1))
+    assert 1 <= packet_frames <= 255, packet_frames
+    kw = (static_models, priors, orders)
+    fkw = (static_models,
+           fec_priors if fec_priors is not None else priors, orders)
+    out = []
+    spans = [(s, min(s + packet_frames, length))
+             for s in range(0, length, packet_frames)]
+    for i, (s, e) in enumerate(spans):
+        body = _pack_span(ind1, ind2, indices, pcodes, sizes, s, e,
+                          *kw)
+        if i == 0:
+            fec = b""
+            fn = 0
+        else:
+            ps, pe = spans[i - 1]
+            fec = _pack_span(ind1, ind2, fec_indices, pcodes,
+                             fec_sizes, ps, pe, *fkw)
+            fn = pe - ps
+        out.append(bytes([e - s, fn])
+                   + len(body).to_bytes(2, "big") + body + fec)
+    return out
+
+
+def unpack_packets_fec(payloads: list, sizes: Dict, fec_sizes: Dict,
+                       packet_frames: int, total_frames: int = None,
+                       static_models: Dict = None, priors: Dict = None,
+                       fec_priors: Dict = None,
+                       orders: Dict = None) -> Dict:
+    """Inverse of pack_packets_fec over a lossy transport.
+
+    Per span, in order of preference: the primary body (its own
+    packet), else the redundant body (the NEXT packet), else lost.
+    Returns the unpack_packets layout plus `fec_indices` (lean-layout
+    index streams for the recovered frames) and `from_fec` (L,) bool;
+    merge with codec/plc.fec_merge_residual.
+    """
+    from fpsc_tpu.codec.bitstream import dequantize_pitch
+
+    kw = (static_models, priors, orders)
+    fkw = (static_models,
+           fec_priors if fec_priors is not None else priors, orders)
+    spans = []          # (n_frames, primary-body-or-None)
+    pos = 0
+    for i, p in enumerate(payloads):
+        if p is not None:
+            n = p[0]
+        elif i < len(payloads) - 1 or total_frames is None:
+            n = packet_frames
+        else:
+            n = total_frames - pos
+        spans.append(n)
+        pos += n
+    length = pos
+    n_vq = max(len(sizes["vq"]), 1)
+    n_vq_bl = max(len(sizes.get("vq_bl", [])), 1)
+    fn_vq = max(len(fec_sizes["vq"]), 1)
+    fn_vq_bl = max(len(fec_sizes.get("vq_bl", [])), 1)
+    out = {
+        "ind1": np.zeros(length, bool), "ind2": np.zeros(length, bool),
+        "indices": {"scl": np.full(length, -1, np.int32),
+                    "scl_bl": np.full(length, -1, np.int32),
+                    "vq": np.full((length, n_vq), -1, np.int32),
+                    "vq_bl": np.full((length, n_vq_bl), -1, np.int32)},
+        "fec_indices": {
+            "scl": np.full(length, -1, np.int32),
+            "scl_bl": np.full(length, -1, np.int32),
+            "vq": np.full((length, fn_vq), -1, np.int32),
+            "vq_bl": np.full((length, fn_vq_bl), -1, np.int32)},
+        "lost": np.zeros(length, bool),
+        "from_fec": np.zeros(length, bool),
+    }
+    pcodes = np.zeros((length, 2), np.int64)
+
+    def fill(tc, pos, n, idx_key):
+        out["ind1"][pos:pos + n] = tc.ind1
+        out["ind2"][pos:pos + n] = tc.ind2
+        d = out[idx_key]
+        d["scl"][pos:pos + n] = tc.iscl
+        d["scl_bl"][pos:pos + n] = tc.iscl_bl
+        d["vq"][pos:pos + n] = tc.ivq
+        d["vq_bl"][pos:pos + n] = tc.ivq_bl
+        pcodes[pos:pos + n] = tc.pcodes
+
+    pos = 0
+    for i, n in enumerate(spans):
+        p = payloads[i]
+        if p is not None:
+            blen = int.from_bytes(p[2:4], "big")
+            tc = _Transcoder(sizes, kw[0], kw[1], decode=True,
+                             data=p[4:4 + blen], length=n,
+                             orders=orders).run()
+            fill(tc, pos, n, "indices")
+        elif (i + 1 < len(payloads) and payloads[i + 1] is not None
+              and payloads[i + 1][1] == n):
+            nxt = payloads[i + 1]
+            blen = int.from_bytes(nxt[2:4], "big")
+            tc = _Transcoder(fec_sizes, fkw[0], fkw[1], decode=True,
+                             data=nxt[4 + blen:], length=n,
+                             orders=orders).run()
+            fill(tc, pos, n, "fec_indices")
+            out["from_fec"][pos:pos + n] = True
+        else:
+            out["lost"][pos:pos + n] = True
+        pos += n
+    out["pitch"] = dequantize_pitch(pcodes)
+    return out
 
 
 class StreamingRangeEncoder:

@@ -130,6 +130,26 @@ def main(label=None, epoch=None):
     # 100 ms packets must stay within 25% of the whole-utterance rate
     assert pkt_bps[10] < base_bps * 1.25, (pkt_bps[10], base_bps)
 
+    # in-band FEC rate (lean-preset redundancy one packet late)
+    from fpsc_tpu.codec.rate_control import PRESETS, preset_codebooks
+    lean = preset_codebooks(codebooks, **PRESETS["lean"])
+    fec_sizes = codebook_sizes(lean)
+    fec_all = plc.fec_requantize(lean, enc["r"], enc["ind1"],
+                                 enc["ind2"])
+    fec_idx = {k: np.asarray(v) for k, v in fec_all.items()}
+    pf = 5
+    tot = 0
+    for b, (row, pcodes, _) in enumerate(per_utt):
+        pkts = rc.pack_packets_fec(
+            ind1[b], ind2[b], row, pcodes, sizes,
+            {k: v[b] for k, v in fec_idx.items()}, fec_sizes,
+            packet_frames=pf, **kw)
+        tot += sum(len(p) for p in pkts)
+    fec_bps = tot * 8 / (len(per_utt) * length) * 100
+    print(f"  FEC ({pf} frames/packet): {fec_bps:7.1f} b/s  "
+          f"(+{fec_bps / pkt_bps[pf] - 1:.1%} over plain packets)",
+          flush=True)
+
     # --- 2. concealment quality through the saved vocoder ---
     voc_dir = os.path.join(OUT, f"{label}_voc_s")
     assert os.path.isdir(voc_dir), "run validate_flagship.py first"
@@ -207,18 +227,44 @@ def main(label=None, epoch=None):
                                  pitch, lost)
         frz = plc.conceal_decode(params, codebooks, i1, i2, sub,
                                  pitch, lost, freeze=True)
+        # FEC arm: packet-level losses recover from the next packet's
+        # lean redundancy (frame-level burst masks approximate to
+        # packet drops for this arm)
+        pkt_lost = mask[:, ::pf][:, :n_pkts]
+        fec_coded = []
+        for b in range(n_eval):
+            row = {k: v[b] for k, v in idx.items()}
+            pcodes = bs.quantize_pitch(
+                feat_val[b, :, 18:] * pitch_scale)
+            pkts = rc.pack_packets_fec(
+                ind1[b], ind2[b], row, pcodes, sizes,
+                {k: v[b] for k, v in fec_idx.items()}, fec_sizes,
+                packet_frames=pf, **kw)
+            lossy = [None if pkt_lost[b, j] else p
+                     for j, p in enumerate(pkts)]
+            got = rc.unpack_packets_fec(lossy, sizes, fec_sizes,
+                                        packet_frames=pf,
+                                        total_frames=length, **kw)
+            r, ptch, lst = plc.fec_merge_residual(codebooks, lean, got)
+            fec_coded.append(np.asarray(plc.conceal_decode_residual(
+                params, r, (ptch / pitch_scale).astype(jnp.float32),
+                lst))[0])
+        l_fec = audio_lsd(np.stack(fec_coded))
         l_con, l_frz = audio_lsd(con), audio_lsd(frz)
-        rows.append((tag, float(mask.mean()), l_con, l_frz))
+        rows.append((tag, float(mask.mean()), l_con, l_frz, l_fec))
         print(f"  {tag:9s} (frame rate {mask.mean():.1%}): "
-              f"conceal {l_con:.3f}  freeze {l_frz:.3f}", flush=True)
+              f"conceal {l_con:.3f}  freeze {l_frz:.3f}  "
+              f"FEC {l_fec:.3f}", flush=True)
     print(f"(audio section {time.time()-t0:.0f}s)", flush=True)
 
     # contracts: every concealment stays far below the noise floor,
     # degradation is graceful (<= 0.25 LSD over lossless at 10% iid),
-    # and loss hurts monotonically across the iid grid (tolerance for
-    # sampling noise)
-    for tag, fr, l_con, l_frz in rows:
+    # loss hurts monotonically across the iid grid (tolerance for
+    # sampling noise), and the FEC arm is at least as good as
+    # concealment at every measured point
+    for tag, fr, l_con, l_frz, l_fec in rows:
         assert l_con < 0.7 * lsd_noise, (tag, l_con, lsd_noise)
+        assert l_fec <= l_con + 0.03, (tag, l_fec, l_con)
     iid = [r[2] for r in rows[:3]]
     assert iid[1] <= lossless + 0.25, (iid[1], lossless)
     assert iid[0] <= iid[2] + 0.02, iid

@@ -216,6 +216,135 @@ def test_packetized_conceal_end_to_end(setup):
     assert np.isfinite(con).all()
 
 
+def _lean(cbs):
+    from fpsc_tpu.codec.rate_control import PRESETS, preset_codebooks
+    return preset_codebooks(cbs, **PRESETS["lean"])
+
+
+def test_fec_requantize_is_leaner_but_close(setup):
+    params, cbs, feat, enc = setup
+    lean = _lean(cbs)
+    from fpsc_tpu.codec.codec import dequantize_residual
+    fec_idx = plc.fec_requantize(lean, enc["r"], enc["ind1"],
+                                 enc["ind2"])
+    assert np.asarray(fec_idx["vq"]).shape[-1] == 1   # 1 lean stage
+    r_fec = np.asarray(dequantize_residual(
+        lean, enc["ind1"], enc["ind2"],
+        {k: jnp.asarray(v) for k, v in fec_idx.items()}))
+    r_full = np.asarray(enc["r_qtz"])
+    r = np.asarray(enc["r"])
+    e_fec = np.abs(r_fec - r).mean()
+    e_full = np.abs(r_full - r).mean()
+    assert e_full <= e_fec < 4.0 * e_full + 1e-3, (e_full, e_fec)
+
+
+def test_fec_pack_roundtrip_and_recovery(setup):
+    params, cbs, feat, enc = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    lean = _lean(cbs)
+    fec_sizes = codebook_sizes(lean)
+    fec_all = plc.fec_requantize(lean, enc["r"], enc["ind1"],
+                                 enc["ind2"])
+    i = 0
+    ind1, ind2, idx, pcodes = _streams(enc, feat, i)
+    fidx = {k: np.asarray(v)[i] for k, v in fec_all.items()}
+    pf = 6
+    pkts = rc.pack_packets_fec(ind1, ind2, idx, pcodes, sizes,
+                               fidx, fec_sizes, packet_frames=pf)
+    plain = rc.pack_packets(ind1, ind2, idx, pcodes, sizes,
+                            packet_frames=pf)
+    assert sum(map(len, pkts)) > sum(map(len, plain))  # redundancy costs
+
+    # no loss: primary streams reproduced, nothing from FEC
+    got = rc.unpack_packets_fec(pkts, sizes, fec_sizes,
+                                packet_frames=pf)
+    assert not got["lost"].any() and not got["from_fec"].any()
+    np.testing.assert_array_equal(got["ind1"], ind1)
+    for k in ("scl", "vq"):
+        live = idx[k] >= 0
+        np.testing.assert_array_equal(
+            np.asarray(got["indices"][k])[live], idx[k][live])
+
+    # isolated loss: the span is recovered from the NEXT packet's
+    # redundancy, index-for-index
+    lossy = list(pkts)
+    lossy[1] = None
+    got = rc.unpack_packets_fec(lossy, sizes, fec_sizes,
+                                packet_frames=pf)
+    span = slice(pf, 2 * pf)
+    assert not got["lost"].any()
+    assert got["from_fec"][span].all() and got["from_fec"].sum() == pf
+    np.testing.assert_array_equal(got["ind1"][span], ind1[span])
+    np.testing.assert_array_equal(got["ind2"][span], ind2[span])
+    for k in ("scl", "vq"):
+        want = fidx[k][span]
+        live = want >= 0
+        np.testing.assert_array_equal(
+            np.asarray(got["fec_indices"][k])[span][live], want[live],
+            err_msg=k)
+
+    # back-to-back losses: the first span has no surviving redundancy
+    # (it rode in the second lost packet); the second recovers
+    lossy = list(pkts)
+    lossy[1] = None
+    lossy[2] = None
+    got = rc.unpack_packets_fec(lossy, sizes, fec_sizes,
+                                packet_frames=pf)
+    assert got["lost"][pf:2 * pf].all()
+    assert got["from_fec"][2 * pf:3 * pf].all()
+
+
+def test_fec_decode_beats_concealment(setup):
+    """Recovered spans decode with near-primary fidelity: the FEC
+    chain's error on an isolated loss is far below free-run
+    concealment's."""
+    params, cbs, feat, enc = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    lean = _lean(cbs)
+    fec_sizes = codebook_sizes(lean)
+    fec_all = plc.fec_requantize(lean, enc["r"], enc["ind1"],
+                                 enc["ind2"])
+    i = 0
+    ind1, ind2, idx, pcodes = _streams(enc, feat, i)
+    fidx = {k: np.asarray(v)[i] for k, v in fec_all.items()}
+    pf = 6
+    pkts = rc.pack_packets_fec(ind1, ind2, idx, pcodes, sizes,
+                               fidx, fec_sizes, packet_frames=pf)
+    lossy = list(pkts)
+    lossy[1] = None
+    got = rc.unpack_packets_fec(lossy, sizes, fec_sizes,
+                                packet_frames=pf)
+    r, pitch, lost = plc.fec_merge_residual(cbs, lean, got)
+    dec_fec = np.asarray(plc.conceal_decode_residual(
+        params, r, pitch.astype(jnp.float32), lost))
+    dec_full = np.asarray(decode(
+        params, cbs, enc["ind1"][:1], enc["ind2"][:1],
+        {k: v[:1] for k, v in enc["indices"].items()},
+        jnp.asarray(np.asarray(got["pitch"])[None],
+                    jnp.float32)))
+    # concealment-only arm on the same loss pattern
+    plain = rc.unpack_packets(
+        [p if j != 1 else None for j, p in enumerate(
+            rc.pack_packets(ind1, ind2, idx, pcodes, sizes,
+                            packet_frames=pf))],
+        sizes, packet_frames=pf)
+    dec_con = np.asarray(plc.conceal_decode(
+        params, cbs, jnp.asarray(plain["ind1"][None]),
+        jnp.asarray(plain["ind2"][None]),
+        {k: jnp.asarray(v[None]) for k, v in plain["indices"].items()},
+        jnp.asarray(plain["pitch"][None], jnp.float32),
+        jnp.asarray(plain["lost"][None])))
+    span = slice(pf, 2 * pf)
+    e_fec = np.abs(dec_fec[0, span, :18] - dec_full[0, span, :18]).mean()
+    e_con = np.abs(dec_con[0, span, :18] - dec_full[0, span, :18]).mean()
+    assert e_fec < 0.5 * e_con, (e_fec, e_con)
+    # outside the loss both tracks are exact
+    np.testing.assert_allclose(dec_fec[0, :pf], dec_full[0, :pf],
+                               atol=1e-6)
+
+
 def test_streaming_receiver_matches_batch_conceal(setup):
     """The fused receiver tick (concealing decode + vocoder, one
     program) tracks codec/plc.conceal_decode frame-for-frame on the
