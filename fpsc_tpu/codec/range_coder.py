@@ -782,6 +782,85 @@ def unpack_packets_fec(payloads: list, sizes: Dict, fec_sizes: Dict,
     return out
 
 
+class FecPacketReceiver:
+    """Host-side jitter-buffer glue for the pack_packets_fec transport
+    (in-order arrival, None = transport-detected loss).
+
+    Using in-band FEC forces a ONE-PACKET delay: span i-1's fate is
+    only known once packet i arrives (it carries span i-1's
+    redundancy), so push_packet(i) emits span i-1's frames —
+    primary if packet i-1 arrived, packet i's redundant body if not,
+    placeholder lost frames if both dropped.  finish() drains the
+    last span.  Emitted frame dicts {ind1, ind2, indices, pcodes,
+    lost, from_fec} feed StreamingReceiver.process_symbols (whose
+    fec_codebooks path dequantises the lean layout on device)."""
+
+    def __init__(self, sizes: Dict, fec_sizes: Dict,
+                 packet_frames: int, static_models: Dict = None,
+                 priors: Dict = None, fec_priors: Dict = None,
+                 orders: Dict = None):
+        self._sizes = sizes
+        self._fec_sizes = fec_sizes
+        self._pf = packet_frames
+        self._kw = (static_models, priors, orders)
+        self._fkw = (static_models,
+                     fec_priors if fec_priors is not None else priors,
+                     orders)
+        self._n_vq = max(len(sizes["vq"]), 1)
+        self._n_vq_bl = max(len(sizes.get("vq_bl", [])), 1)
+        self._prev = None
+        self._started = False
+
+    def _frames_from(self, body: bytes, n: int, sizes, kw,
+                     from_fec: bool) -> list:
+        tc = _Transcoder(sizes, kw[0], kw[1], decode=True, data=body,
+                         length=n, orders=kw[2]).run()
+        return [{"ind1": bool(tc.ind1[t]), "ind2": bool(tc.ind2[t]),
+                 "indices": {"scl": int(tc.iscl[t]),
+                             "scl_bl": int(tc.iscl_bl[t]),
+                             "vq": np.asarray(tc.ivq[t]),
+                             "vq_bl": np.asarray(tc.ivq_bl[t])},
+                 "pcodes": np.asarray(tc.pcodes[t]),
+                 "lost": False, "from_fec": from_fec}
+                for t in range(n)]
+
+    def _lost_frames(self, n: int) -> list:
+        return [{"ind1": False, "ind2": False,
+                 "indices": {"scl": -1, "scl_bl": -1,
+                             "vq": np.full(self._n_vq, -1),
+                             "vq_bl": np.full(self._n_vq_bl, -1)},
+                 "pcodes": np.zeros(2, np.int64),
+                 "lost": True, "from_fec": False} for _ in range(n)]
+
+    def _emit_prev(self, cur) -> list:
+        prev = self._prev
+        if prev is not None:
+            blen = int.from_bytes(prev[2:4], "big")
+            return self._frames_from(prev[4:4 + blen], prev[0],
+                                     self._sizes, self._kw, False)
+        if cur is not None and cur[1] > 0:
+            blen = int.from_bytes(cur[2:4], "big")
+            return self._frames_from(cur[4 + blen:], cur[1],
+                                     self._fec_sizes, self._fkw, True)
+        return self._lost_frames(self._pf)
+
+    def push_packet(self, payload) -> list:
+        """payload: packet bytes or None.  Returns the PREVIOUS span's
+        frames (empty list on the very first push)."""
+        out = [] if not self._started else self._emit_prev(payload)
+        self._prev = payload
+        self._started = True
+        return out
+
+    def finish(self) -> list:
+        """Drain the final span (no later packet carries redundancy
+        for it, so it is primary-or-lost)."""
+        out = self._emit_prev(None) if self._started else []
+        self._prev = None
+        self._started = False
+        return out
+
+
 class StreamingRangeEncoder:
     """Frame-by-frame entropy ENCODER over the pack_utterance_rc
     format (no length header; the byte stream is open-ended).

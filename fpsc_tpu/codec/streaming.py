@@ -203,28 +203,9 @@ def _decoder_step(params: fp.FramePredictorParams,
                   codebooks: fp.Codebooks):
     """Pure per-frame decode: (state, ind1, ind2, indices, pitch (B,2))
     -> (state, coded (B, 20))."""
-    from fpsc_tpu.quant.scalar import scl_dequantize
-    from fpsc_tpu.quant.vq import vq_dequantize
-
     def step(state, ind1, ind2, indices, pitch_rows):
         h1, h2, prev = state
-        safe = lambda i: jnp.maximum(i, 0)
-        r0_a = scl_dequantize(safe(indices["scl"]), codebooks.scl)
-        r0_b = (scl_dequantize(safe(indices["scl_bl"]),
-                               codebooks.scl_bl)
-                if codebooks.scl_bl is not None
-                else jnp.zeros_like(r0_a))
-        r0 = jnp.where(ind1, r0_a, r0_b)            # (B,)
-        rv_a = jax.vmap(lambda i: vq_dequantize(safe(i),
-                                                codebooks.vq))(
-            jnp.atleast_2d(indices["vq"]))
-        rv_b = (jax.vmap(lambda i: vq_dequantize(safe(i),
-                                                 codebooks.vq_bl))(
-            jnp.atleast_2d(indices["vq_bl"]))
-            if codebooks.vq_bl is not None
-            else jnp.zeros_like(rv_a))
-        rv = jnp.where(ind2[:, None], rv_a, rv_b)   # (B, 17)
-        r_qtz = jnp.concatenate([r0[:, None], rv], axis=-1)
+        r_qtz = _dequant_frame(codebooks, ind1, ind2, indices)
         x = jnp.concatenate([prev, pitch_rows], axis=-1)
         f_out, h1, h2 = fp.step(params, h1, h2, x)
         coded = f_out + r_qtz
@@ -355,38 +336,49 @@ class StreamingVocoder:
         return ys[0] if squeeze and self.batch == 1 else ys
 
 
+def _dequant_frame(codebooks: fp.Codebooks, ind1, ind2, indices):
+    """One frame's residual from its index rows (B-batched)."""
+    from fpsc_tpu.quant.scalar import scl_dequantize
+    from fpsc_tpu.quant.vq import vq_dequantize
+
+    safe = lambda i: jnp.maximum(i, 0)
+    r0_a = scl_dequantize(safe(indices["scl"]), codebooks.scl)
+    r0_b = (scl_dequantize(safe(indices["scl_bl"]), codebooks.scl_bl)
+            if codebooks.scl_bl is not None
+            else jnp.zeros_like(r0_a))
+    r0 = jnp.where(ind1, r0_a, r0_b)
+    rv_a = jax.vmap(lambda i: vq_dequantize(safe(i), codebooks.vq))(
+        jnp.atleast_2d(indices["vq"]))
+    rv_b = (jax.vmap(lambda i: vq_dequantize(safe(i),
+                                             codebooks.vq_bl))(
+        jnp.atleast_2d(indices["vq_bl"]))
+        if codebooks.vq_bl is not None
+        else jnp.zeros_like(rv_a))
+    rv = jnp.where(ind2[:, None], rv_a, rv_b)
+    return jnp.concatenate([r0[:, None], rv], axis=-1)
+
+
 def _conceal_decoder_step(params: fp.FramePredictorParams,
                           codebooks: fp.Codebooks,
                           fade_after: int = 3,
                           fade_step: float = 0.012,
-                          freeze: bool = False):
+                          freeze: bool = False,
+                          fec_codebooks: fp.Codebooks = None):
     """Per-frame decode with erasure concealment (the streaming twin
     of codec/plc.conceal_decode — same policy, same arithmetic):
     (state, ind1, ind2, indices, pitch (B,2), lost (B,)) ->
     (state, coded (B, 20)).  State adds (prev_pitch, loss run) to the
-    plain decoder's carry."""
-    from fpsc_tpu.quant.scalar import scl_dequantize
-    from fpsc_tpu.quant.vq import vq_dequantize
-
-    def step(state, ind1, ind2, indices, pitch_rows, lost):
+    plain decoder's carry.  With `fec_codebooks`, two extra inputs
+    (fec_indices, from_fec) select the lean-layout redundancy residual
+    per frame (codec/plc.fec_merge_residual, in-program)."""
+    def step(state, ind1, ind2, indices, pitch_rows, lost,
+             fec_indices=None, from_fec=None):
         h1, h2, prev, prev_pitch, run = state
-        safe = lambda i: jnp.maximum(i, 0)
-        r0_a = scl_dequantize(safe(indices["scl"]), codebooks.scl)
-        r0_b = (scl_dequantize(safe(indices["scl_bl"]),
-                               codebooks.scl_bl)
-                if codebooks.scl_bl is not None
-                else jnp.zeros_like(r0_a))
-        r0 = jnp.where(ind1, r0_a, r0_b)
-        rv_a = jax.vmap(lambda i: vq_dequantize(safe(i),
-                                                codebooks.vq))(
-            jnp.atleast_2d(indices["vq"]))
-        rv_b = (jax.vmap(lambda i: vq_dequantize(safe(i),
-                                                 codebooks.vq_bl))(
-            jnp.atleast_2d(indices["vq_bl"]))
-            if codebooks.vq_bl is not None
-            else jnp.zeros_like(rv_a))
-        rv = jnp.where(ind2[:, None], rv_a, rv_b)
-        r_qtz = jnp.concatenate([r0[:, None], rv], axis=-1)
+        r_qtz = _dequant_frame(codebooks, ind1, ind2, indices)
+        if fec_codebooks is not None:
+            r_fec = _dequant_frame(fec_codebooks, ind1, ind2,
+                                   fec_indices)
+            r_qtz = jnp.where(from_fec[:, None], r_fec, r_qtz)
 
         keep = 1.0 - lost.astype(jnp.float32)
         pit = jnp.where(lost[:, None], prev_pitch, pitch_rows)
@@ -421,20 +413,30 @@ class StreamingReceiver:
                  codebooks: fp.Codebooks,
                  voc_params: lpcnet.LPCNetParams,
                  seed: int = 0, batch: int = 1,
-                 fade_after: int = 3, fade_step: float = 0.012):
+                 fade_after: int = 3, fade_step: float = 0.012,
+                 fec_codebooks: fp.Codebooks = None):
         self.batch = batch
         self.key = jax.random.PRNGKey(seed)
         self._enc_params = enc_params
         self._voc_params = voc_params
+        self._fec = fec_codebooks is not None
+        if self._fec:
+            self._fec_placeholder = {
+                "scl": -1, "scl_bl": -1,
+                "vq": [-1] * len(fec_codebooks.vq),
+                "vq_bl": [-1] * (len(fec_codebooks.vq_bl)
+                                 if fec_codebooks.vq_bl is not None
+                                 else 1)}
         self.reset()
         dec = _conceal_decoder_step(enc_params, codebooks,
-                                    fade_after, fade_step)
+                                    fade_after, fade_step,
+                                    fec_codebooks=fec_codebooks)
         voc = _vocoder_step(voc_params)
 
         def tick(dec_state, voc_state, key, ind1, ind2, indices,
-                 pitch_rows, lost):
+                 pitch_rows, lost, *fec):
             dec_state, coded = dec(dec_state, ind1, ind2, indices,
-                                   pitch_rows, lost)
+                                   pitch_rows, lost, *fec)
             voc_state, ys = voc(voc_state, key, coded[:, :20])
             return dec_state, voc_state, jnp.concatenate(
                 [coded, ys], axis=-1)
@@ -454,24 +456,38 @@ class StreamingReceiver:
                           jnp.zeros((b,)), jnp.zeros((b,)))
 
     def process_symbols(self, ind1, ind2, indices: Dict,
-                        pitch_rows: np.ndarray, lost=False) -> Dict:
+                        pitch_rows: np.ndarray, lost=False,
+                        fec_indices: Dict = None,
+                        from_fec=False) -> Dict:
         """One frame per session; `lost` is a bool or (batch,) bools —
         True frames ignore their symbol/pitch rows (pass placeholders).
-        Returns {'coded' (B, 20), 'audio' (B, 160)} (squeezed for
-        batch=1 scalar input)."""
+        With fec_codebooks constructed, `fec_indices`/`from_fec` route
+        frames recovered from redundancy (range_coder.FecPacketReceiver
+        emits both layouts).  Returns {'coded' (B, 20), 'audio'
+        (B, 160)} (squeezed for batch=1 scalar input)."""
+        def lift_idx(d):
+            return {k: jnp.asarray(np.atleast_2d(np.asarray(v))
+                                   if k in ("vq", "vq_bl")
+                                   else np.atleast_1d(np.asarray(v)))
+                    for k, v in d.items()}
+
         squeeze = np.ndim(pitch_rows) == 1
         ind1 = jnp.atleast_1d(jnp.asarray(ind1, bool))
         ind2 = jnp.atleast_1d(jnp.asarray(ind2, bool))
         lost = jnp.broadcast_to(
             jnp.atleast_1d(jnp.asarray(lost, bool)), (self.batch,))
-        idx = {k: jnp.asarray(np.atleast_2d(np.asarray(v))
-                              if k in ("vq", "vq_bl")
-                              else np.atleast_1d(np.asarray(v)))
-               for k, v in indices.items()}
+        idx = lift_idx(indices)
+        fec = ()
+        if self._fec:
+            fec = (lift_idx(fec_indices if fec_indices is not None
+                            else self._fec_placeholder),
+                   jnp.broadcast_to(
+                       jnp.atleast_1d(jnp.asarray(from_fec, bool)),
+                       (self.batch,)))
         self.key, sub = jax.random.split(self.key)
         self.dec_state, self.voc_state, out = self._tick(
             self.dec_state, self.voc_state, sub, ind1, ind2, idx,
-            _rows(pitch_rows, self.batch, 2), lost)
+            _rows(pitch_rows, self.batch, 2), lost, *fec)
         p = np.asarray(out)                    # single host transfer
         res = {"coded": p[:, :20], "audio": p[:, 20:]}
         if squeeze and self.batch == 1:

@@ -377,6 +377,66 @@ def test_streaming_receiver_matches_batch_conceal(setup):
         assert np.isfinite(out["audio"]).all()
 
 
+def test_fec_packet_receiver_streams_match_offline(setup):
+    """Transport glue: FecPacketReceiver's one-packet-delayed frame
+    emission + the StreamingReceiver FEC tick reproduce the OFFLINE
+    chain (unpack_packets_fec -> fec_merge_residual ->
+    conceal_decode_residual) frame-for-frame."""
+    from fpsc_tpu.codec.streaming import StreamingReceiver
+    from fpsc_tpu.models import lpcnet
+    params, cbs, feat, enc = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    lean = _lean(cbs)
+    fec_sizes = codebook_sizes(lean)
+    fec_all = plc.fec_requantize(lean, enc["r"], enc["ind1"],
+                                 enc["ind2"])
+    i = 0
+    ind1, ind2, idx, pcodes = _streams(enc, feat, i)
+    fidx = {k: np.asarray(v)[i] for k, v in fec_all.items()}
+    pf = 4
+    pkts = rc.pack_packets_fec(ind1, ind2, idx, pcodes, sizes,
+                               fidx, fec_sizes, packet_frames=pf)
+    lossy = list(pkts)
+    lossy[2] = None          # isolated -> FEC
+    lossy[4] = None          # back-to-back pair -> conceal + FEC
+    lossy[5] = None
+
+    # offline reference
+    got = rc.unpack_packets_fec(lossy, sizes, fec_sizes,
+                                packet_frames=pf,
+                                total_frames=len(ind1))
+    r, ptch, lst = plc.fec_merge_residual(cbs, lean, got)
+    want = np.asarray(plc.conceal_decode_residual(
+        params, r, ptch.astype(jnp.float32), lst))
+
+    # streaming: jitter-buffer glue -> fused FEC tick
+    lcfg = lpcnet.LPCNetConfig(gru_a_units=16, gru_b_units=8,
+                               embed_dim=8, cond_units=8)
+    voc = lpcnet.init_lpcnet(jax.random.PRNGKey(1), lcfg)
+    recv = StreamingReceiver(params, cbs, voc, fec_codebooks=lean)
+    jbuf = rc.FecPacketReceiver(sizes, fec_sizes, packet_frames=pf)
+    frames = []
+    for p in lossy:
+        frames += jbuf.push_packet(p)
+    frames += jbuf.finish()
+    assert len(frames) == len(ind1)
+    for t, f in enumerate(frames):
+        assert f["lost"] == bool(got["lost"][t]), t
+        assert f["from_fec"] == bool(got["from_fec"][t]), t
+        out = recv.process_symbols(
+            f["ind1"], f["ind2"],
+            f["indices"] if not f["from_fec"] else
+            {"scl": -1, "scl_bl": -1, "vq": [-1, -1], "vq_bl": [-1]},
+            np.asarray(got["pitch"])[t].astype(np.float32),
+            lost=f["lost"],
+            fec_indices=f["indices"] if f["from_fec"] else None,
+            from_fec=f["from_fec"])
+        np.testing.assert_allclose(out["coded"], want[0, t],
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"frame {t}")
+
+
 def test_loss_mask_helpers():
     rng = np.random.RandomState(0)
     m = plc.random_loss_mask(rng, 4, 2000, 0.1)
