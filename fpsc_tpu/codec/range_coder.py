@@ -617,43 +617,57 @@ def unpack_packets(payloads: list, sizes: Dict, packet_frames: int,
     iscl_bl = np.full(length, -1, np.int32)
     ivq = np.full((length, n_vq), -1, np.int32)
     ivq_bl = np.full((length, n_vq_bl), -1, np.int32)
-    pcodes = np.zeros((length, 2), np.int64)
+    # lost frames keep the code-0 placeholder pitch (ignored by
+    # conceal_decode's pitch hold)
+    pitch = np.tile(dequantize_pitch(np.zeros((1, 2), np.int64)),
+                    (length, 1))
     lost = np.zeros(length, bool)
     pos = 0
     for n, p in spans:
         if p is None:
             lost[pos:pos + n] = True
         else:
-            tc = _Transcoder(sizes, static_models, priors, decode=True,
-                             data=p[1:], length=n, orders=orders).run()
-            ind1[pos:pos + n] = tc.ind1
-            ind2[pos:pos + n] = tc.ind2
-            iscl[pos:pos + n] = tc.iscl
-            iscl_bl[pos:pos + n] = tc.iscl_bl
-            ivq[pos:pos + n] = tc.ivq
-            ivq_bl[pos:pos + n] = tc.ivq_bl
-            pcodes[pos:pos + n] = tc.pcodes
+            got = _unpack_span(bytes(p[1:]), n, sizes, static_models,
+                               priors, orders)
+            ind1[pos:pos + n] = got["ind1"]
+            ind2[pos:pos + n] = got["ind2"]
+            iscl[pos:pos + n] = got["indices"]["scl"]
+            iscl_bl[pos:pos + n] = got["indices"]["scl_bl"]
+            ivq[pos:pos + n] = got["indices"]["vq"]
+            ivq_bl[pos:pos + n] = got["indices"]["vq_bl"]
+            pitch[pos:pos + n] = got["pitch"]
         pos += n
     return {"ind1": ind1, "ind2": ind2,
             "indices": {"scl": iscl, "scl_bl": iscl_bl,
                         "vq": ivq, "vq_bl": ivq_bl},
-            "pitch": dequantize_pitch(pcodes), "lost": lost}
+            "pitch": pitch, "lost": lost}
 
 
 def _pack_span(ind1, ind2, indices: Dict, pcodes, sizes: Dict, s, e,
                static_models, priors, orders) -> bytes:
-    """Self-contained range coding of frames [s, e) (fresh models)."""
-    tc = _Transcoder(sizes, static_models, priors, decode=False,
-                     length=e - s, orders=orders)
-    tc.ind1 = np.asarray(ind1)[s:e].astype(int)
-    tc.ind2 = np.asarray(ind2)[s:e].astype(int)
-    tc.iscl = np.asarray(indices["scl"])[s:e]
-    tc.iscl_bl = np.asarray(indices["scl_bl"])[s:e]
-    tc.ivq = np.atleast_2d(np.asarray(indices["vq"]))[s:e]
-    tc.ivq_bl = np.atleast_2d(np.asarray(indices["vq_bl"]))[s:e]
-    tc.pcodes = np.asarray(pcodes)[s:e]
-    tc.run()
-    return tc.coder.finish()
+    """Self-contained range coding of frames [s, e) (fresh models),
+    routed through the fastest backend (the native C++ runtime is
+    byte-identical, so packetized payloads do not depend on which
+    side built the library)."""
+    from fpsc_tpu.codec import native_rc
+    payload = native_rc.best().pack_utterance_rc(
+        np.asarray(ind1)[s:e], np.asarray(ind2)[s:e],
+        {"scl": np.asarray(indices["scl"])[s:e],
+         "scl_bl": np.asarray(indices["scl_bl"])[s:e],
+         "vq": np.atleast_2d(np.asarray(indices["vq"]))[s:e],
+         "vq_bl": np.atleast_2d(np.asarray(indices["vq_bl"]))[s:e]},
+        np.asarray(pcodes)[s:e], sizes, static_models=static_models,
+        priors=priors, orders=orders)
+    return payload[2:]               # strip the 2-byte length header
+
+
+def _unpack_span(body: bytes, n: int, sizes: Dict, static_models,
+                 priors, orders) -> Dict:
+    """Inverse of _pack_span (fastest backend)."""
+    from fpsc_tpu.codec import native_rc
+    return native_rc.best().unpack_utterance_rc(
+        int(n).to_bytes(2, "big") + body, sizes,
+        static_models=static_models, priors=priors, orders=orders)
 
 
 def pack_packets_fec(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
@@ -745,40 +759,36 @@ def unpack_packets_fec(payloads: list, sizes: Dict, fec_sizes: Dict,
         "lost": np.zeros(length, bool),
         "from_fec": np.zeros(length, bool),
     }
-    pcodes = np.zeros((length, 2), np.int64)
+    pitch = np.tile(dequantize_pitch(np.zeros((1, 2), np.int64)),
+                    (length, 1))
 
-    def fill(tc, pos, n, idx_key):
-        out["ind1"][pos:pos + n] = tc.ind1
-        out["ind2"][pos:pos + n] = tc.ind2
+    def fill(got, pos, n, idx_key):
+        out["ind1"][pos:pos + n] = got["ind1"]
+        out["ind2"][pos:pos + n] = got["ind2"]
         d = out[idx_key]
-        d["scl"][pos:pos + n] = tc.iscl
-        d["scl_bl"][pos:pos + n] = tc.iscl_bl
-        d["vq"][pos:pos + n] = tc.ivq
-        d["vq_bl"][pos:pos + n] = tc.ivq_bl
-        pcodes[pos:pos + n] = tc.pcodes
+        for k in ("scl", "scl_bl", "vq", "vq_bl"):
+            d[k][pos:pos + n] = got["indices"][k]
+        pitch[pos:pos + n] = got["pitch"]
 
     pos = 0
     for i, n in enumerate(spans):
         p = payloads[i]
         if p is not None:
             blen = int.from_bytes(p[2:4], "big")
-            tc = _Transcoder(sizes, kw[0], kw[1], decode=True,
-                             data=p[4:4 + blen], length=n,
-                             orders=orders).run()
-            fill(tc, pos, n, "indices")
+            fill(_unpack_span(bytes(p[4:4 + blen]), n, sizes,
+                              kw[0], kw[1], orders), pos, n, "indices")
         elif (i + 1 < len(payloads) and payloads[i + 1] is not None
               and payloads[i + 1][1] == n):
             nxt = payloads[i + 1]
             blen = int.from_bytes(nxt[2:4], "big")
-            tc = _Transcoder(fec_sizes, fkw[0], fkw[1], decode=True,
-                             data=nxt[4 + blen:], length=n,
-                             orders=orders).run()
-            fill(tc, pos, n, "fec_indices")
+            fill(_unpack_span(bytes(nxt[4 + blen:]), n, fec_sizes,
+                              fkw[0], fkw[1], orders),
+                 pos, n, "fec_indices")
             out["from_fec"][pos:pos + n] = True
         else:
             out["lost"][pos:pos + n] = True
         pos += n
-    out["pitch"] = dequantize_pitch(pcodes)
+    out["pitch"] = pitch
     return out
 
 
