@@ -23,6 +23,13 @@ Encode side: on-TPU analysis frontend (dsp/frontend.extract_features
 lax.scan with in-scan VQ) -> native C++ range coder.  Decode side:
 entropy decode -> closed-loop feature decode -> ceps2lpc -> fused
 Pallas LPCNet sampler.
+
+Lossy-transport mode: `codec.packet_ms=50` writes independently
+decodable packets (add `codec.fec=true` for in-band lean-preset
+redundancy); on decode, `codec.sim_drop=0.1` simulates an iid 10%
+packet-drop channel — lost spans recover from FEC or conceal through
+the closed-loop predictor (codec/plc.py), and the decoder prints the
+per-utterance recovery report.
 """
 from __future__ import annotations
 
@@ -165,6 +172,19 @@ def encode_paths(cfg, wav_paths: Sequence[str], out_path: str,
         feats[name] = np.concatenate([rows[:, :18], pitch_dq], axis=1)
         buckets.setdefault(rows.shape[0], []).append(name)
 
+    packet_frames = cfg.codec.packet_ms // 10
+    if cfg.codec.packet_ms and not cfg.codec.entropy_coding:
+        raise ValueError("codec.packet_ms requires entropy_coding")
+    if cfg.codec.fec and not packet_frames:
+        raise ValueError("codec.fec requires codec.packet_ms > 0")
+    fec_books = fec_sizes = None
+    if cfg.codec.fec:
+        from fpsc_tpu.codec import plc, rate_control
+        from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+        fec_books = rate_control.preset_codebooks(
+            codebooks, **rate_control.PRESETS["lean"])
+        fec_sizes = codebook_sizes(fec_books)
+
     coded = {}
     for n_frames, names in buckets.items():
         feat = jnp.asarray(np.stack([feats[n] for n in names]) / scale)
@@ -172,32 +192,53 @@ def encode_paths(cfg, wav_paths: Sequence[str], out_path: str,
                      l1=cfg.codec.l1, l2=cfg.codec.l2,
                      use_mask=cfg.codec.use_mask,
                      scale=cfg.codec.mask_scale)
+        fidx = (plc.fec_requantize(fec_books, enc["r"], enc["ind1"],
+                                   enc["ind2"])
+                if cfg.codec.fec else None)
         for i, name in enumerate(names):
             coded[name] = (
                 np.asarray(enc["ind1"])[i], np.asarray(enc["ind2"])[i],
                 {k: np.asarray(v)[i]
-                 for k, v in enc["indices"].items()})
+                 for k, v in enc["indices"].items()},
+                None if fidx is None else
+                {k: np.asarray(v)[i] for k, v in fidx.items()})
 
     utts, rates = [], {}
     for path in wav_paths:            # preserve CLI argument order
         name = os.path.splitext(os.path.basename(path))[0]
-        ind1, ind2, idx = coded[name]
+        ind1, ind2, idx, fidx = coded[name]
         pitch_raw = feats[name][:, 18:20]
-        if cfg.codec.entropy_coding:
+        if cfg.codec.fec:
+            from fpsc_tpu.codec import range_coder as rc
+            payload = rc.pack_packets_fec(
+                ind1, ind2, idx, bs.quantize_pitch(pitch_raw), sizes,
+                fidx, fec_sizes, packet_frames=packet_frames,
+                priors=priors, orders=orders)
+            nbytes = sum(len(p) for p in payload)
+        elif packet_frames:
+            from fpsc_tpu.codec import range_coder as rc
+            payload = rc.pack_packets(
+                ind1, ind2, idx, bs.quantize_pitch(pitch_raw), sizes,
+                packet_frames=packet_frames, priors=priors,
+                orders=orders)
+            nbytes = sum(len(p) for p in payload)
+        elif cfg.codec.entropy_coding:
             payload = rcmod.pack_utterance_rc(
                 ind1, ind2, idx, bs.quantize_pitch(pitch_raw), sizes,
                 priors=priors, orders=orders)
+            nbytes = len(payload)
         else:
             payload = bs.pack_utterance(ind1, ind2, idx, pitch_raw,
                                         sizes)
+            nbytes = len(payload)
         utts.append((name, payload))
-        rates[name] = bs.bitrate_bps(len(payload),
-                                     feats[name].shape[0])
+        rates[name] = bs.bitrate_bps(nbytes, feats[name].shape[0])
     total = container.write_fpsc(
         out_path, utts, sizes, entropy=cfg.codec.entropy_coding,
         use_mask=cfg.codec.use_mask, l1=cfg.codec.l1, l2=cfg.codec.l2,
         mask_scale=cfg.codec.mask_scale, preset=cfg.codec.preset,
-        sample_rate=C.SAMPLE_RATE)
+        sample_rate=C.SAMPLE_RATE, packet_frames=packet_frames,
+        fec=cfg.codec.fec)
     for name, bps in rates.items():
         print(f"{name}: {bps:.0f} b/s")
     print(f"wrote {out_path}: {len(utts)} utterance(s), {total} bytes")
@@ -228,18 +269,53 @@ def decode_file(cfg, in_path: str, out_dir: str,
     scale = C.MAXI if cfg.data.normalize else 1.0
     os.makedirs(out_dir, exist_ok=True)
 
+    pf = meta.get("packet_frames", 0)
+    fec = meta.get("fec", False)
+    fec_books = fec_sizes = None
+    if fec:
+        from fpsc_tpu.codec import rate_control
+        from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+        fec_books = rate_control.preset_codebooks(
+            codebooks, **rate_control.PRESETS["lean"])
+        fec_sizes = codebook_sizes(fec_books)
+    drop_rng = np.random.RandomState(cfg.codec.sim_seed)
+
     # entropy decode on host, then bucket by length and run each
     # bucket's feature decode + vocoder as ONE batched program
     # (mirrors the encoder's bucketing)
+    from fpsc_tpu.codec import range_coder as rc
     unpacked, buckets, order = {}, {}, []
     for name, payload in box["utterances"]:
-        if meta["entropy"]:
+        if pf:
+            nbytes = sum(len(p) for p in payload)
+            if cfg.codec.sim_drop > 0:
+                keep = drop_rng.rand(len(payload)) >= cfg.codec.sim_drop
+                keep[0] = True          # session start always arrives
+                payload = [p if keep[j] else None
+                           for j, p in enumerate(payload)]
+            if fec:
+                got = rc.unpack_packets_fec(
+                    payload, sizes, fec_sizes, packet_frames=pf,
+                    priors=priors, orders=orders)
+            else:
+                got = rc.unpack_packets(payload, sizes,
+                                        packet_frames=pf,
+                                        priors=priors, orders=orders)
+            if got["lost"].any() or got.get(
+                    "from_fec", np.zeros(1, bool)).any():
+                print(f"{name}: {int(got['lost'].sum())} frame(s) "
+                      f"concealed"
+                      + (f", {int(got['from_fec'].sum())} recovered "
+                         "from FEC" if fec else ""))
+        elif meta["entropy"]:
             got = rcmod.unpack_utterance_rc(payload, sizes,
                                             priors=priors,
                                             orders=orders)
+            nbytes = len(payload)
         else:
             got = bs.unpack_utterance(payload, sizes)
-        unpacked[name] = (got, len(payload))
+            nbytes = len(payload)
+        unpacked[name] = (got, nbytes)
         buckets.setdefault(len(got["ind1"]), []).append(name)
         order.append(name)
 
@@ -247,12 +323,37 @@ def decode_file(cfg, in_path: str, out_dir: str,
     for n_frames, names in buckets.items():
         stack = lambda f: jnp.asarray(np.stack(
             [f(unpacked[n][0]) for n in names]))
-        coded = decode(frame_params, codebooks,
-                       stack(lambda g: g["ind1"]),
-                       stack(lambda g: g["ind2"]),
-                       {k: stack(lambda g, k=k: g["indices"][k])
-                        for k in unpacked[names[0]][0]["indices"]},
-                       stack(lambda g: g["pitch"]) / scale)
+        g0 = unpacked[names[0]][0]
+        if pf and fec:
+            from fpsc_tpu.codec import plc
+            r_rows, lost_rows = [], []
+            for n in names:
+                g = unpacked[n][0]
+                r, _, lost = plc.fec_merge_residual(codebooks,
+                                                    fec_books, g)
+                r_rows.append(np.asarray(r)[0])
+                lost_rows.append(np.asarray(lost)[0])
+            coded = plc.conceal_decode_residual(
+                frame_params, jnp.asarray(np.stack(r_rows)),
+                stack(lambda g: g["pitch"]) / scale,
+                jnp.asarray(np.stack(lost_rows)))
+        elif pf:
+            from fpsc_tpu.codec import plc
+            coded = plc.conceal_decode(
+                frame_params, codebooks,
+                stack(lambda g: g["ind1"]),
+                stack(lambda g: g["ind2"]),
+                {k: stack(lambda g, k=k: g["indices"][k])
+                 for k in g0["indices"]},
+                stack(lambda g: g["pitch"]) / scale,
+                stack(lambda g: g["lost"]))
+        else:
+            coded = decode(frame_params, codebooks,
+                           stack(lambda g: g["ind1"]),
+                           stack(lambda g: g["ind2"]),
+                           {k: stack(lambda g, k=k: g["indices"][k])
+                            for k in g0["indices"]},
+                           stack(lambda g: g["pitch"]) / scale)
         coded_un = np.asarray(coded) * scale
         periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
                    ).astype(np.int32)

@@ -37,6 +37,12 @@ MAGIC = b"FPSC"
 VERSION = 1
 FLAG_ENTROPY = 1
 FLAG_MASK = 2
+# bit2: per-utterance payloads are lists of independently decodable
+# packets (u8 packet_frames after n_utts; per utterance u16 n_packets
+# then u32 len + bytes per packet) — range_coder.pack_packets format.
+# bit3: packets carry in-band FEC (pack_packets_fec).
+FLAG_PACKETS = 4
+FLAG_FEC = 8
 
 
 def _pack_str(s: str) -> bytes:
@@ -71,11 +77,17 @@ def write_fpsc(path: str, utterances: Sequence[Tuple[str, bytes]],
                sizes: Dict, *, entropy: bool = True,
                use_mask: bool = False, l1: float = 0.09,
                l2: float = 0.28, mask_scale: float = 1000.0,
-               preset: str = "full",
-               sample_rate: int = 16000) -> int:
-    """Write the container; returns total bytes written."""
+               preset: str = "full", sample_rate: int = 16000,
+               packet_frames: int = 0, fec: bool = False) -> int:
+    """Write the container; returns total bytes written.
+
+    With packet_frames > 0 each utterance's payload must be a LIST of
+    packet bytes (range_coder.pack_packets / pack_packets_fec) — the
+    lossy-transport layout a decoder can drop packets from."""
     flags = (FLAG_ENTROPY if entropy else 0) | (FLAG_MASK if use_mask
                                                 else 0)
+    if packet_frames:
+        flags |= FLAG_PACKETS | (FLAG_FEC if fec else 0)
     out = [MAGIC, struct.pack(">BB", VERSION, flags),
            _pack_str(preset),
            struct.pack(">fff", l1, l2, mask_scale),
@@ -85,10 +97,19 @@ def write_fpsc(path: str, utterances: Sequence[Tuple[str, bytes]],
     out.append(struct.pack(">B", len(sizes.get("vq_bl", []) or [])))
     out += [struct.pack(">H", n) for n in (sizes.get("vq_bl") or [])]
     out.append(struct.pack(">IH", sample_rate, len(utterances)))
+    if packet_frames:
+        out.append(struct.pack(">B", packet_frames))
     for name, payload in utterances:
         out.append(_pack_str(name))
-        out.append(struct.pack(">I", len(payload)))
-        out.append(payload)
+        if packet_frames:
+            assert isinstance(payload, (list, tuple)), name
+            out.append(struct.pack(">H", len(payload)))
+            for pkt in payload:
+                out.append(struct.pack(">I", len(pkt)))
+                out.append(pkt)
+        else:
+            out.append(struct.pack(">I", len(payload)))
+            out.append(payload)
     blob = b"".join(out)
     with open(path, "wb") as f:
         f.write(blob)
@@ -112,16 +133,23 @@ def read_fpsc(path: str) -> Dict:
     vq = [r.take("H") for _ in range(r.take("B"))]
     vq_bl = [r.take("H") for _ in range(r.take("B"))]
     sample_rate, n_utts = r.take("IH")
+    packet_frames = r.take("B") if flags & FLAG_PACKETS else 0
     utts: List[Tuple[str, bytes]] = []
     for _ in range(n_utts):
         name = r.take_str()
-        utts.append((name, r.take_bytes(r.take("I"))))
+        if packet_frames:
+            utts.append((name, [r.take_bytes(r.take("I"))
+                                for _ in range(r.take("H"))]))
+        else:
+            utts.append((name, r.take_bytes(r.take("I"))))
     return {
         "meta": {
             "entropy": bool(flags & FLAG_ENTROPY),
             "use_mask": bool(flags & FLAG_MASK),
             "preset": preset, "l1": l1, "l2": l2,
             "mask_scale": mask_scale, "sample_rate": sample_rate,
+            "packet_frames": packet_frames,
+            "fec": bool(flags & FLAG_FEC),
             "sizes": {"scl": scl, "scl_bl": scl_bl, "vq": vq,
                       "vq_bl": vq_bl},
         },

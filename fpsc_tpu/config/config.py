@@ -70,6 +70,18 @@ class CodecConfig:
     # (rate_control.PRESETS: full | vq1 | novqbl | lean); decoders
     # read the preset back from the .fpsc container header.
     preset: str = "full"
+    # Lossy-transport packetization for the file codec CLI: packets of
+    # packet_ms (multiple of 10) are INDEPENDENTLY decodable
+    # (range_coder.pack_packets); 0 writes one whole-utterance payload.
+    packet_ms: int = 0
+    # In-band FEC: lean-preset redundancy one packet late
+    # (pack_packets_fec); requires packet_ms > 0.
+    fec: bool = False
+    # Decode-side channel simulation: drop this fraction of packets
+    # (iid, sim_seed) before decoding — lost spans recover via FEC or
+    # conceal via codec/plc.  Only meaningful on packetized streams.
+    sim_drop: float = 0.0
+    sim_seed: int = 0
 
 
 @dataclass

@@ -200,3 +200,74 @@ def test_file_codec_cli_two_processes(tmp_path):
     assert dec_wav.exists()
     y = cli.read_wav(str(dec_wav))
     assert np.isfinite(y).all() and y.std() > 0
+
+
+def test_file_codec_packetized_lossless_matches_plain(tmp_path):
+    """codec.packet_ms writes independently decodable packets; with no
+    loss the decode equals the whole-utterance stream's bit-exactly."""
+    cb_path = _write_artifacts(tmp_path)
+    wavs = [_write_wav(tmp_path, "p1", seed=9)]
+    arts = cli.load_artifacts(_cfg(cb_path))
+    voc = cli._load_vocoder(_cfg(cb_path), __import__(
+        "fpsc_tpu.train.checkpoint", fromlist=["checkpoint"]))
+
+    plain_cfg = _cfg(cb_path)
+    plain_out = str(tmp_path / "plain.fpsc")
+    cli.encode_paths(plain_cfg, wavs, plain_out, artifacts=arts)
+    ref = cli.decode_file(plain_cfg, plain_out, str(tmp_path / "d0"),
+                          use_pallas=False, artifacts=arts,
+                          vocoder_params=voc)
+
+    pkt_cfg = _cfg(cb_path, ["codec.packet_ms=50"])
+    pkt_out = str(tmp_path / "pkt.fpsc")
+    rep = cli.encode_paths(pkt_cfg, wavs, pkt_out, artifacts=arts)
+    box = container.read_fpsc(pkt_out)
+    assert box["meta"]["packet_frames"] == 5
+    assert isinstance(box["utterances"][0][1], list)
+    got = cli.decode_file(pkt_cfg, pkt_out, str(tmp_path / "d1"),
+                          use_pallas=False, artifacts=arts,
+                          vocoder_params=voc)
+    np.testing.assert_array_equal(got[0]["coded"], ref[0]["coded"])
+
+
+def test_file_codec_fec_survives_simulated_loss(tmp_path):
+    """codec.fec + decode-side codec.sim_drop: the recovered decode
+    stays close to the lossless one (FEC covers isolated drops), and
+    the plain-packet arm under the SAME channel drifts further."""
+    cb_path = _write_artifacts(tmp_path)
+    wavs = [_write_wav(tmp_path, "f1", seconds=1.0, seed=11)]
+    arts = cli.load_artifacts(_cfg(cb_path))
+    voc = cli._load_vocoder(_cfg(cb_path), __import__(
+        "fpsc_tpu.train.checkpoint", fromlist=["checkpoint"]))
+
+    fec_cfg = _cfg(cb_path, ["codec.packet_ms=50", "codec.fec=true"])
+    fec_out = str(tmp_path / "fec.fpsc")
+    cli.encode_paths(fec_cfg, wavs, fec_out, artifacts=arts)
+    assert container.read_fpsc(fec_out)["meta"]["fec"]
+
+    ref = cli.decode_file(fec_cfg, fec_out, str(tmp_path / "r"),
+                          use_pallas=False, artifacts=arts,
+                          vocoder_params=voc)[0]["coded"]
+
+    lossy_cfg = _cfg(cb_path, ["codec.packet_ms=50", "codec.fec=true",
+                               "codec.sim_drop=0.25",
+                               "codec.sim_seed=3"])
+    got = cli.decode_file(lossy_cfg, fec_out, str(tmp_path / "l"),
+                          use_pallas=False, artifacts=arts,
+                          vocoder_params=voc)[0]["coded"]
+
+    plain_cfg = _cfg(cb_path, ["codec.packet_ms=50"])
+    plain_out = str(tmp_path / "pl.fpsc")
+    cli.encode_paths(plain_cfg, wavs, plain_out, artifacts=arts)
+    lossy_plain = _cfg(cb_path, ["codec.packet_ms=50",
+                                 "codec.sim_drop=0.25",
+                                 "codec.sim_seed=3"])
+    got_plain = cli.decode_file(lossy_plain, plain_out,
+                                str(tmp_path / "lp"),
+                                use_pallas=False, artifacts=arts,
+                                vocoder_params=voc)[0]["coded"]
+
+    e_fec = np.abs(got[..., :18] - ref[..., :18]).mean()
+    e_plain = np.abs(got_plain[..., :18] - ref[..., :18]).mean()
+    assert np.isfinite(got).all()
+    assert e_fec < e_plain, (e_fec, e_plain)
