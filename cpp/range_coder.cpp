@@ -109,10 +109,23 @@ struct Encoder {
     }
   }
   void finish() {
-    for (int i = 0; i < 4; ++i) {
-      out.push_back(uint8_t((low >> 24) & 0xFF));
-      low = (low << 8) & M32;
+    // Minimal flush (mirrors range_coder.py::RangeEncoder.finish):
+    // any v in [low, low+range) completes the stream and the decoder
+    // zero-pads, so emit only the non-zero prefix of the most
+    // zero-trailing v.
+    uint64_t hi = low + range, v = low;
+    int k = 0;
+    for (int kk = 4; kk >= 1; --kk) {
+      uint64_t step = 1ull << (8 * kk);
+      uint64_t cand = (low + step - 1) / step * step;
+      if (cand < hi) { v = cand; k = kk; break; }
     }
+    v &= M32;
+    for (int i = 0; i < 4 - k; ++i) {
+      out.push_back(uint8_t((v >> 24) & 0xFF));
+      v = (v << 8) & M32;
+    }
+    low = v;
   }
 };
 

@@ -155,6 +155,13 @@ def encode_paths(cfg, wav_paths: Sequence[str], out_path: str,
     # batched closed-loop encode — the scan compiles once per length
     # and every dispatch carries a full batch (per-call dispatch is
     # the tunneled-TPU bottleneck, CLAUDE.md env rules)
+    names = [os.path.splitext(os.path.basename(p))[0]
+             for p in wav_paths]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            "duplicate wav basenames would silently collide in the "
+            f"container: {dupes} — rename the inputs")
     waves = [read_wav(p) for p in wav_paths]
     all_rows = extract_features_batch(waves)   # bucketed batched XLA
     feats, buckets = {}, {}
@@ -238,7 +245,8 @@ def encode_paths(cfg, wav_paths: Sequence[str], out_path: str,
         use_mask=cfg.codec.use_mask, l1=cfg.codec.l1, l2=cfg.codec.l2,
         mask_scale=cfg.codec.mask_scale, preset=cfg.codec.preset,
         sample_rate=C.SAMPLE_RATE, packet_frames=packet_frames,
-        fec=cfg.codec.fec)
+        fec=cfg.codec.fec,
+        frame_counts={n: f.shape[0] for n, f in feats.items()})
     for name, bps in rates.items():
         print(f"{name}: {bps:.0f} b/s")
     print(f"wrote {out_path}: {len(utts)} utterance(s), {total} bytes")
@@ -288,6 +296,7 @@ def decode_file(cfg, in_path: str, out_dir: str,
     for name, payload in box["utterances"]:
         if pf:
             nbytes = sum(len(p) for p in payload)
+            total_frames = meta["frame_counts"].get(name)
             if cfg.codec.sim_drop > 0:
                 keep = drop_rng.rand(len(payload)) >= cfg.codec.sim_drop
                 keep[0] = True          # session start always arrives
@@ -296,10 +305,12 @@ def decode_file(cfg, in_path: str, out_dir: str,
             if fec:
                 got = rc.unpack_packets_fec(
                     payload, sizes, fec_sizes, packet_frames=pf,
+                    total_frames=total_frames,
                     priors=priors, orders=orders)
             else:
                 got = rc.unpack_packets(payload, sizes,
                                         packet_frames=pf,
+                                        total_frames=total_frames,
                                         priors=priors, orders=orders)
             if got["lost"].any() or got.get(
                     "from_fec", np.zeros(1, bool)).any():

@@ -34,16 +34,20 @@ from fpsc_tpu.quant.vq import vq_dequantize
 
 def encode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
            feat: jax.Array, l1: float = 0.09, l2: float = 0.28,
-           use_mask: bool = False, scale: float = 1000.0) -> Dict:
+           use_mask: bool = False, scale: float = 1000.0,
+           pitch_lag: int = 0) -> Dict:
     """feat: (B, L, 20) normalised [ceps|pitch] frames.
 
     Returns dict with coded (B, L, 20) normalised coded frames,
     ind1/ind2 (B, L) bool, indices (index streams, -1 = unused),
-    counts (per-codebook usage).
+    counts (per-codebook usage).  pitch_lag=1 selects the
+    reference-checkpoint pitch convention (frame_predictor._lag_pitch)
+    so imported .pth predictors run in-distribution.
     """
     if use_mask:
         out = fp.mask_enc(params, feat, scale=scale,
-                          codebooks=codebooks, qtz=True)
+                          codebooks=codebooks, qtz=True,
+                          pitch_lag=pitch_lag)
         # stays traced: no host round trip, so the mask path fuses
         # under jit exactly like the threshold path
         ind1 = out["scl_mask"][..., 0] > 0.5
@@ -51,7 +55,8 @@ def encode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
         r_qtz, r = out["r"], out["r_orig"]   # mask_enc's key layout
     else:
         out = fp.encoder(params, feat, l1=l1, l2=l2,
-                         codebooks=codebooks, qtz=True)
+                         codebooks=codebooks, qtz=True,
+                         pitch_lag=pitch_lag)
         ind1, ind2 = out["ind1"], out["ind2"]
         r_qtz, r = out["r_qtz"], out["r"]
     counts = fp.usage_counts(codebooks, out["indices"])
@@ -87,7 +92,7 @@ def dequantize_residual(codebooks: fp.Codebooks, ind1: jax.Array,
 
 def decode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
            ind1: jax.Array, ind2: jax.Array, indices: Dict,
-           pitch: jax.Array) -> jax.Array:
+           pitch: jax.Array, pitch_lag: int = 0) -> jax.Array:
     """Reconstruct coded frames from transmitted data only.
 
     ind1/ind2: (B, L) bools; indices: encoder index streams;
@@ -95,7 +100,7 @@ def decode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
     Returns (B, L, 20) normalised coded frames == encode()['coded'].
     """
     r_qtz = dequantize_residual(codebooks, ind1, ind2, indices)
-    return fp.decoder(params, pitch, r_qtz)
+    return fp.decoder(params, pitch, r_qtz, pitch_lag=pitch_lag)
 
 
 def coded_feature_windows(coded: jax.Array) -> np.ndarray:

@@ -27,6 +27,13 @@ Layout (big-endian):
 The geometry record is the decode-side safety check: mismatched
 codebook artifacts fail loudly (`check_geometry`) instead of
 desynchronising the arithmetic decoder.
+
+Version 2 (packetized streams only): each utterance additionally
+records its TOTAL frame count (u16, after the name) so the decoder
+knows the true length of the final — possibly short — packet even
+when that packet was dropped in transit (otherwise it would
+synthesize up to packet_frames-1 phantom concealed frames).  Version
+1 containers (no frame counts) are still readable.
 """
 from __future__ import annotations
 
@@ -34,7 +41,7 @@ import struct
 from typing import Dict, List, Sequence, Tuple
 
 MAGIC = b"FPSC"
-VERSION = 1
+VERSION = 2
 FLAG_ENTROPY = 1
 FLAG_MASK = 2
 # bit2: per-utterance payloads are lists of independently decodable
@@ -78,12 +85,16 @@ def write_fpsc(path: str, utterances: Sequence[Tuple[str, bytes]],
                use_mask: bool = False, l1: float = 0.09,
                l2: float = 0.28, mask_scale: float = 1000.0,
                preset: str = "full", sample_rate: int = 16000,
-               packet_frames: int = 0, fec: bool = False) -> int:
+               packet_frames: int = 0, fec: bool = False,
+               frame_counts: Dict[str, int] = None) -> int:
     """Write the container; returns total bytes written.
 
     With packet_frames > 0 each utterance's payload must be a LIST of
     packet bytes (range_coder.pack_packets / pack_packets_fec) — the
-    lossy-transport layout a decoder can drop packets from."""
+    lossy-transport layout a decoder can drop packets from — and
+    frame_counts must map each utterance name to its total frame
+    count (recorded per utterance so a dropped FINAL short packet
+    still decodes to the right length)."""
     flags = (FLAG_ENTROPY if entropy else 0) | (FLAG_MASK if use_mask
                                                 else 0)
     if packet_frames:
@@ -103,7 +114,11 @@ def write_fpsc(path: str, utterances: Sequence[Tuple[str, bytes]],
         out.append(_pack_str(name))
         if packet_frames:
             assert isinstance(payload, (list, tuple)), name
-            out.append(struct.pack(">H", len(payload)))
+            if frame_counts is None or name not in frame_counts:
+                raise ValueError(
+                    f"packetized container needs frame_counts[{name!r}]")
+            out.append(struct.pack(">HH", frame_counts[name],
+                                   len(payload)))
             for pkt in payload:
                 out.append(struct.pack(">I", len(pkt)))
                 out.append(pkt)
@@ -124,9 +139,9 @@ def read_fpsc(path: str) -> Dict:
     if r.take_bytes(4) != MAGIC:
         raise ValueError(f"{path}: not an .fpsc container (bad magic)")
     version, flags = r.take("BB")
-    if version != VERSION:
+    if version not in (1, VERSION):
         raise ValueError(f"{path}: container version {version}, "
-                         f"this build reads {VERSION}")
+                         f"this build reads <= {VERSION}")
     preset = r.take_str()
     l1, l2, mask_scale = r.take("fff")
     scl, scl_bl = r.take("HH")
@@ -135,9 +150,12 @@ def read_fpsc(path: str) -> Dict:
     sample_rate, n_utts = r.take("IH")
     packet_frames = r.take("B") if flags & FLAG_PACKETS else 0
     utts: List[Tuple[str, bytes]] = []
+    frame_counts: Dict[str, int] = {}
     for _ in range(n_utts):
         name = r.take_str()
         if packet_frames:
+            if version >= 2:
+                frame_counts[name] = r.take("H")
             utts.append((name, [r.take_bytes(r.take("I"))
                                 for _ in range(r.take("H"))]))
         else:
@@ -150,6 +168,7 @@ def read_fpsc(path: str) -> Dict:
             "mask_scale": mask_scale, "sample_rate": sample_rate,
             "packet_frames": packet_frames,
             "fec": bool(flags & FLAG_FEC),
+            "frame_counts": frame_counts,
             "sizes": {"scl": scl, "scl_bl": scl_bl, "vq": vq,
                       "vq_bl": vq_bl},
         },

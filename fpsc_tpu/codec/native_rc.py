@@ -47,9 +47,23 @@ def _build_lib() -> str:
     src = os.path.join(_CPP_DIR, "range_coder.cpp")
     if (not os.path.exists(lib)
             or os.path.getmtime(lib) < os.path.getmtime(src)):
-        subprocess.run(
-            ["g++", "-O2", "-Wall", "-fPIC", "-shared", "-o", lib, src],
-            check=True)
+        # concurrent processes (parallel pytest, encode+decode jobs)
+        # must not dlopen a half-written library: build under a file
+        # lock, compile to a private name, and publish atomically
+        import fcntl
+        with open(lib + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if (not os.path.exists(lib)
+                    or os.path.getmtime(lib) < os.path.getmtime(src)):
+                tmp = f"{lib}.build.{os.getpid()}"
+                try:
+                    subprocess.run(
+                        ["g++", "-O2", "-Wall", "-fPIC", "-shared",
+                         "-o", tmp, src], check=True)
+                    os.rename(tmp, lib)
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
     return lib
 
 
@@ -214,7 +228,6 @@ def pack_utterance_rc(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
                       orders: Dict = None) -> bytes:
     """Native counterpart of range_coder.pack_utterance_rc
     (byte-identical payload)."""
-    w = _Walker(sizes, static_models, priors, orders, decode=False)
     ind1 = np.ascontiguousarray(np.asarray(ind1).astype(int), np.uint8)
     ind2 = np.ascontiguousarray(np.asarray(ind2).astype(int), np.uint8)
     length = len(ind1)
@@ -226,15 +239,24 @@ def pack_utterance_rc(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
         np.atleast_2d(np.asarray(indices["vq_bl"])), np.int32)
     pc = np.ascontiguousarray(pcodes, np.int64)
     cap = 16 * length + 64
-    out = np.zeros(cap, np.uint8)
-    n = w._lib.rc_pack(
-        w._h, length, ind1.ctypes.data_as(_u8p),
-        ind2.ctypes.data_as(_u8p), _as_i32p(iscl), _as_i32p(iscl_bl),
-        _as_i32p(ivq), ivq.shape[1], _as_i32p(ivq_bl),
-        ivq_bl.shape[1], pc.ctypes.data_as(_i64p),
-        out.ctypes.data_as(_u8p), cap)
-    assert n >= 0, f"native pack buffer too small (needed {-n})"
-    return int(length).to_bytes(2, "big") + bytes(out[:n].tobytes())
+    for _ in range(4):
+        # a failed pack has already advanced the walker's adaptive
+        # tables, so every retry needs a FRESH walker, not just a
+        # bigger buffer
+        w = _Walker(sizes, static_models, priors, orders, decode=False)
+        out = np.zeros(cap, np.uint8)
+        n = w._lib.rc_pack(
+            w._h, length, ind1.ctypes.data_as(_u8p),
+            ind2.ctypes.data_as(_u8p), _as_i32p(iscl),
+            _as_i32p(iscl_bl), _as_i32p(ivq), ivq.shape[1],
+            _as_i32p(ivq_bl), ivq_bl.shape[1],
+            pc.ctypes.data_as(_i64p), out.ctypes.data_as(_u8p), cap)
+        if n >= 0:
+            return (int(length).to_bytes(2, "big")
+                    + bytes(out[:n].tobytes()))
+        cap = max(2 * cap, int(-n) + 64)
+    raise RuntimeError(
+        f"native pack kept overflowing its buffer (last cap {cap})")
 
 
 def unpack_utterance_rc(data: bytes, sizes: Dict,
@@ -260,7 +282,10 @@ def unpack_utterance_rc(data: bytes, sizes: Dict,
         _as_i32p(iscl), _as_i32p(iscl_bl), _as_i32p(ivq),
         ivq.shape[1], _as_i32p(ivq_bl), ivq_bl.shape[1],
         pc.ctypes.data_as(_i64p))
-    assert rcode == 0, rcode
+    if rcode != 0:
+        raise ValueError(
+            f"native unpack failed (rc={rcode}): corrupt or "
+            "geometry-mismatched payload")
     return {"ind1": ind1.astype(bool), "ind2": ind2.astype(bool),
             "indices": {"scl": iscl, "scl_bl": iscl_bl,
                         "vq": ivq, "vq_bl": ivq_bl},
@@ -301,13 +326,22 @@ class NativeStreamingRangeEncoder:
             int(indices_row.get("scl_bl", -1)), self._ivqp,
             self._ivq_blp, int(pcode_row[0]), int(pcode_row[1]),
             self._bufp, len(self._buf))
-        assert n >= 0, n
+        if n < 0:
+            # one frame emits a handful of renormalised bytes; a 4 KiB
+            # overflow means the coder state is corrupt — the stream
+            # cannot be continued, so fail loudly (survives python -O)
+            raise RuntimeError(
+                f"streaming encoder overflowed its frame buffer ({-n} "
+                "bytes needed): encoder state is no longer valid")
         return bytes(self._buf[:n].tobytes())
 
     def finish(self) -> bytes:
         n = self._w._lib.rc_enc_finish(
             self._w._h, self._bufp, len(self._buf))
-        assert n >= 0, n
+        if n < 0:
+            raise RuntimeError(
+                f"streaming encoder flush overflowed ({-n} bytes "
+                "needed): encoder state is no longer valid")
         return bytes(self._buf[:n].tobytes())
 
 

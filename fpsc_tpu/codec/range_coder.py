@@ -62,9 +62,27 @@ class RangeEncoder:
             self.range = (self.range << 8) & 0xFFFFFFFF
 
     def finish(self) -> bytes:
-        for _ in range(4):
-            self.out.append((self.low >> 24) & 0xFF)
-            self.low = (self.low << 8) & 0xFFFFFFFF
+        # Minimal flush: ANY value v in [low, low+range) completes the
+        # stream, and the decoder zero-pads past the end of input, so
+        # emit only the non-zero prefix of the v with the most trailing
+        # zero BYTES (usually 2 bytes instead of the naive 4 — worth
+        # ~160 b/s at 100 ms packets, where the flush is per packet).
+        # Mirrored exactly in cpp/range_coder.cpp::Encoder::finish.
+        hi = self.low + self.range
+        v = self.low
+        for k in (4, 3, 2, 1):
+            step = 1 << (8 * k)
+            cand = -(-self.low // step) * step   # ceil to multiple
+            if cand < hi:
+                v = cand
+                break
+        else:
+            k = 0
+        v &= 0xFFFFFFFF
+        for _ in range(4 - k):
+            self.out.append((v >> 24) & 0xFF)
+            v = (v << 8) & 0xFFFFFFFF
+        self.low = v
         return bytes(self.out)
 
 
@@ -842,7 +860,7 @@ class FecPacketReceiver:
                  "pcodes": np.zeros(2, np.int64),
                  "lost": True, "from_fec": False} for _ in range(n)]
 
-    def _emit_prev(self, cur) -> list:
+    def _emit_prev(self, cur, lost_n: int = None) -> list:
         prev = self._prev
         if prev is not None:
             blen = int.from_bytes(prev[2:4], "big")
@@ -852,7 +870,7 @@ class FecPacketReceiver:
             blen = int.from_bytes(cur[2:4], "big")
             return self._frames_from(cur[4 + blen:], cur[1],
                                      self._fec_sizes, self._fkw, True)
-        return self._lost_frames(self._pf)
+        return self._lost_frames(self._pf if lost_n is None else lost_n)
 
     def push_packet(self, payload) -> list:
         """payload: packet bytes or None.  Returns the PREVIOUS span's
@@ -862,10 +880,15 @@ class FecPacketReceiver:
         self._started = True
         return out
 
-    def finish(self) -> list:
+    def finish(self, final_frames: int = None) -> list:
         """Drain the final span (no later packet carries redundancy
-        for it, so it is primary-or-lost)."""
-        out = self._emit_prev(None) if self._started else []
+        for it, so it is primary-or-lost).  When the final packet was
+        LOST and the utterance does not divide evenly into packets,
+        pass `final_frames` (the true length of the last — short —
+        span, e.g. from the .fpsc frame-count record) so the receiver
+        does not emit packet_frames phantom lost frames."""
+        out = (self._emit_prev(None, lost_n=final_frames)
+               if self._started else [])
         self._prev = None
         self._started = False
         return out

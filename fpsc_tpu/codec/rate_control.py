@@ -41,12 +41,18 @@ import numpy as np
 from fpsc_tpu.codec import bitstream as bs
 from fpsc_tpu.codec import native_rc
 from fpsc_tpu.codec.codec import encode
-
-# byte-identical native C++ entropy backend when it builds (parity
-# pinned in tests/test_native_rc.py), pure-Python reference otherwise
-rc = native_rc.best()
 from fpsc_tpu.dsp import constants as C
 from fpsc_tpu.models import frame_predictor as fp
+
+
+def _rc():
+    # byte-identical native C++ entropy backend when it builds (parity
+    # pinned in tests/test_native_rc.py), pure-Python reference
+    # otherwise.  Resolved lazily at first USE: best() may g++-compile
+    # the library, which must not run as an import side effect (two
+    # importing processes would race on librangecoder.so; the build
+    # itself is additionally file-locked in native_rc._build_lib).
+    return native_rc.best()
 
 # codebook-subset presets, richest first.  vq_stages = above-threshold
 # VQ stages kept; vq_bl = keep the below-threshold VQ stream.
@@ -110,6 +116,7 @@ def measure_operating_points(params, codebooks, feat,
         "vq_bl": [int(cb.shape[0]) for cb in codebooks.vq_bl]
         if codebooks.vq_bl is not None else [],
     }
+    rc = _rc()
     orders = rc.scalar_orders(codebooks)
     # use_mask: indicators come from the trained mask head
     # (the reference's deployed encoder) — the threshold scale is

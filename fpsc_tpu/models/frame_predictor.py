@@ -204,16 +204,37 @@ def usage_counts(cbs: Codebooks, indices) -> list:
 # Closed-loop codec passes
 # --------------------------------------------------------------------------
 
+def _lag_pitch(pitch: jax.Array, pitch_lag: int) -> jax.Array:
+    """Shift the pitch CONDITIONING track right by pitch_lag frames
+    (zeros enter at t=0).
+
+    pitch_lag=1 is the reference-checkpoint compat mode: the reference
+    threshold encoder conditions frame t on the pitch of t-1 with a
+    zero-pitch step 0 (wavernn.py:177-180, c_in[:,1:,-2:]=feat[:,:,-2:])
+    — a .pth imported via utils/torch_import.py only runs
+    in-distribution under this convention.  Our native convention
+    (pitch_lag=0, current-frame pitch) remains the default; only the
+    scan INPUT is lagged — returned coded frames always carry the
+    unshifted pitch, exactly like the reference's returned c_in[:,1:].
+    """
+    if not pitch_lag:
+        return pitch
+    return jnp.concatenate(
+        [jnp.zeros_like(pitch[:, :pitch_lag]), pitch[:, :-pitch_lag]],
+        axis=1)
+
+
 def encoder(params: FramePredictorParams, feat: jax.Array,
             l1: float, l2: float,
             codebooks: Optional[Codebooks] = None,
             mask: Optional[jax.Array] = None,
-            qtz: bool = True):
+            qtz: bool = True, pitch_lag: int = 0):
     """Closed-loop threshold-split encode as one lax.scan.
 
     feat: (B, L, 20) normalised [ceps(18) | pitch(2)] frames.
     mask: optional (B, L, 2) external indicators overriding the
     thresholds (reference's `mask` argument).
+    pitch_lag: 1 = reference-checkpoint pitch convention (_lag_pitch).
 
     Returns dict with:
       c_in   (B, L, 20): coded frames (prediction + kept residual,
@@ -232,7 +253,7 @@ def encoder(params: FramePredictorParams, feat: jax.Array,
     prev = jnp.zeros((b, NB_CEPS), feat.dtype)
 
     xs = {"ceps": jnp.swapaxes(ceps, 0, 1),
-          "pitch": jnp.swapaxes(pitch, 0, 1)}
+          "pitch": jnp.swapaxes(_lag_pitch(pitch, pitch_lag), 0, 1)}
     if mask is not None:
         xs["mask"] = jnp.swapaxes(mask, 0, 1)
 
@@ -276,7 +297,7 @@ def encoder(params: FramePredictorParams, feat: jax.Array,
 def mask_enc(params: FramePredictorParams, feat: jax.Array,
              scale: jax.Array = 1.0,
              codebooks: Optional[Codebooks] = None,
-             qtz: bool = False):
+             qtz: bool = False, pitch_lag: int = 0):
     """Learned-mask closed-loop pass (reference wavernn.py:259-310).
 
     qtz=False (training / residual synthesis): residuals are soft-kept
@@ -296,7 +317,7 @@ def mask_enc(params: FramePredictorParams, feat: jax.Array,
     prev = jnp.zeros((b, NB_CEPS), feat.dtype)
 
     xs = {"ceps": jnp.swapaxes(ceps, 0, 1),
-          "pitch": jnp.swapaxes(pitch, 0, 1),
+          "pitch": jnp.swapaxes(_lag_pitch(pitch, pitch_lag), 0, 1),
           "mask": jnp.swapaxes(masks, 0, 1)}
 
     def scan_step(carry, x):
@@ -334,21 +355,22 @@ def mask_enc(params: FramePredictorParams, feat: jax.Array,
 
 
 def decoder(params: FramePredictorParams, pitch: jax.Array,
-            r: jax.Array) -> jax.Array:
+            r: jax.Array, pitch_lag: int = 0) -> jax.Array:
     """Closed-loop decode: reconstruct coded frames from residuals.
 
     pitch: (B, L, 2) decoded pitch track; r: (B, L, 18) dequantised
     residuals.  Returns coded frames (B, L, 20).  This is the intended
     behaviour of reference wavernn.py:367-379 (which crashes on
     uninitialised h1/h2); by construction decoder(pitch, r_qtz)[..., :18]
-    == encoder(...)['c_in'][..., :18].
+    == encoder(...)['c_in'][..., :18].  pitch_lag must match the
+    encoder's (1 = reference-checkpoint convention, _lag_pitch).
     """
     b, length, _ = pitch.shape
     h1 = jnp.zeros((b, params.rnn1.units), r.dtype)
     h2 = jnp.zeros((b, params.rnn2.units), r.dtype)
     prev = jnp.zeros((b, NB_CEPS), r.dtype)
 
-    xs = {"pitch": jnp.swapaxes(pitch, 0, 1),
+    xs = {"pitch": jnp.swapaxes(_lag_pitch(pitch, pitch_lag), 0, 1),
           "r": jnp.swapaxes(r, 0, 1)}
 
     def scan_step(carry, x):

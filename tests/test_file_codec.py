@@ -271,3 +271,39 @@ def test_file_codec_fec_survives_simulated_loss(tmp_path):
     e_plain = np.abs(got_plain[..., :18] - ref[..., :18]).mean()
     assert np.isfinite(got).all()
     assert e_fec < e_plain, (e_fec, e_plain)
+
+
+def test_container_packetized_records_frame_counts(tmp_path):
+    """v2 containers record each utterance's total frame count in
+    packet mode (so a dropped final SHORT packet decodes to the true
+    length) and refuse to write packetized streams without it."""
+    sizes = {"scl": 16, "scl_bl": 4, "vq": [32], "vq_bl": [8]}
+    utts = [("a", [b"\x05xx", b"\x03y"]), ("b", [b"\x05z"])]
+    path = str(tmp_path / "p.fpsc")
+    container.write_fpsc(path, utts, sizes, packet_frames=5,
+                         frame_counts={"a": 8, "b": 5})
+    box = container.read_fpsc(path)
+    assert box["meta"]["frame_counts"] == {"a": 8, "b": 5}
+    assert box["utterances"] == utts
+    with pytest.raises(ValueError, match="frame_counts"):
+        container.write_fpsc(str(tmp_path / "q.fpsc"), utts, sizes,
+                             packet_frames=5)
+    # non-packet containers don't carry counts (length rides in the
+    # payload header already)
+    container.write_fpsc(str(tmp_path / "r.fpsc"),
+                         [("a", b"abc")], sizes)
+    assert container.read_fpsc(
+        str(tmp_path / "r.fpsc"))["meta"]["frame_counts"] == {}
+
+
+def test_encode_paths_rejects_duplicate_basenames(tmp_path):
+    cb_path = _write_artifacts(tmp_path)
+    d1 = tmp_path / "d1"
+    d2 = tmp_path / "d2"
+    d1.mkdir()
+    d2.mkdir()
+    w1 = _write_wav(d1, "same", seed=7)
+    w2 = _write_wav(d2, "same", seed=8)
+    with pytest.raises(ValueError, match="duplicate"):
+        cli.encode_paths(_cfg(cb_path), [w1, w2],
+                         str(tmp_path / "dup.fpsc"))

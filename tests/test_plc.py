@@ -456,3 +456,57 @@ def test_loss_mask_helpers():
     assert 2.5 < np.mean(runs) < 6.0, np.mean(runs)
     mp = plc.packet_loss_mask(rng, 500, 0.3)
     assert not mp[0] and abs(mp.mean() - 0.3) < 0.07
+
+
+def test_dropped_final_short_packet_decodes_to_true_length(setup):
+    """A lost FINAL packet that was SHORT (utterance not divisible by
+    packet_frames) must not inflate the decode: total_frames (now
+    recorded per utterance in the .fpsc container) pins the length,
+    and FecPacketReceiver.finish(final_frames=...) emits exactly the
+    true final span."""
+    params, cbs, feat, enc = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    ind1, ind2, idx, pcodes = _streams(enc, feat, 0)
+    n = 10                         # 4+4+2 at pf=4: short final span
+    ind1, ind2 = ind1[:n], ind2[:n]
+    idx = {k: v[:n] for k, v in idx.items()}
+    pcodes = pcodes[:n]
+    pf = 4
+    pkts = rc.pack_packets(ind1, ind2, idx, pcodes, sizes,
+                           packet_frames=pf)
+    lossy = list(pkts)
+    lossy[-1] = None
+    got = rc.unpack_packets(lossy, sizes, packet_frames=pf,
+                            total_frames=n)
+    assert len(got["ind1"]) == n
+    assert got["lost"][-2:].all() and not got["lost"][:-2].any()
+    # without the frame count the decoder must assume a full span
+    # (the pre-fix behavior, still the only option for v1 containers)
+    legacy = rc.unpack_packets(lossy, sizes, packet_frames=pf)
+    assert len(legacy["ind1"]) == 2 * pf + pf
+
+    # FEC path: same geometry through unpack_packets_fec and the
+    # streaming jitter buffer
+    lean = _lean(cbs)
+    fec_sizes = codebook_sizes(lean)
+    fec_all = plc.fec_requantize(lean, enc["r"], enc["ind1"],
+                                 enc["ind2"])
+    fidx = {k: np.asarray(v)[0][:n] for k, v in fec_all.items()}
+    fpkts = rc.pack_packets_fec(ind1, ind2, idx, pcodes, sizes,
+                                fidx, fec_sizes, packet_frames=pf)
+    flossy = list(fpkts)
+    flossy[-1] = None
+    fgot = rc.unpack_packets_fec(flossy, sizes, fec_sizes,
+                                 packet_frames=pf, total_frames=n)
+    assert len(fgot["ind1"]) == n
+    assert fgot["lost"][-2:].all()
+
+    jbuf = rc.FecPacketReceiver(sizes, fec_sizes, packet_frames=pf)
+    frames = []
+    for p in flossy:
+        frames += jbuf.push_packet(p)
+    frames += jbuf.finish(final_frames=n - 2 * pf)
+    assert len(frames) == n
+    assert frames[-1]["lost"] and frames[-2]["lost"]
+    assert not frames[-3]["lost"]

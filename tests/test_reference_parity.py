@@ -377,6 +377,86 @@ def test_closed_loop_encoder_matches_reference_wavernn(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pitch_lag_compat_mode_matches_reference_unmodified(tmp_path):
+    """pitch_lag=1 reproduces the reference encoder's NATIVE pitch
+    convention (frame t conditioned on pitch t-1, zero at step 0 —
+    wavernn.py:177-180) with NO doctoring of either side's inputs: an
+    imported .pth runs in-distribution without retraining.  The
+    compat-mode decoder inverts the compat-mode encoder."""
+    import torch
+
+    from fpsc_tpu.codec.codec import decode, encode
+    from fpsc_tpu.models import frame_predictor as fp
+    from fpsc_tpu.utils.torch_import import wavernn_to_frame_predictor
+
+    ref_wavernn = _load_reference_module("wavernn", "models/wavernn.py")
+    ref_wavernn.device = "cpu"
+    ref_vq_mod = _load_reference_module("vq_func",
+                                        "quantization/vq_func.py")
+
+    torch.manual_seed(3)
+    model = ref_wavernn.Wavernn(in_features=20, gru_units1=24,
+                                gru_units2=12, fc_units=18)
+    model.eval()
+    params, _cfg = wavernn_to_frame_predictor(model.state_dict())
+
+    rng = np.random.RandomState(23)
+    books = {
+        "scl": np.sort(rng.randn(16).astype(np.float32)) * 0.1,
+        "scl_bl": np.sort(rng.randn(8).astype(np.float32)) * 0.02,
+        "vq": _random_books(rng, [32, 16], scale=0.1),
+        "vq_bl": _random_books(rng, [16], scale=0.02),
+    }
+    paths = {}
+    for name in ("scl", "scl_bl"):
+        paths[name] = str(tmp_path / f"{name}.npy")
+        np.save(paths[name], books[name][:, None])
+    for name in ("vq", "vq_bl"):
+        arr = np.empty(len(books[name]), dtype=object)
+        for i, b in enumerate(books[name]):
+            arr[i] = b
+        paths[name] = str(tmp_path / f"{name}.npy")
+        np.save(paths[name], arr, allow_pickle=True)
+    cfg = {"scl_cb_path": paths["scl"], "bl_scl_cb_path": paths["scl_bl"],
+           "cb_path": paths["vq"], "bl_cb_path": paths["vq_bl"]}
+
+    # a NATURAL track: pitch everywhere, nothing zeroed or shifted
+    feat = (rng.randn(1, 20, 20) * 0.3).astype(np.float32)
+    l1, l2 = 0.09, 0.28
+    with torch.no_grad():
+        c_in, r, r_qtz, r_under, ind1_m, ind2_m, _ = model.encoder(
+            cfg, torch.tensor(feat), None, l1, l2,
+            vq_quantize=ref_vq_mod.vq_quantize,
+            scl_quantize=ref_vq_mod.scl_quantize, qtz=True)
+
+    cbs = fp.Codebooks(
+        scl=jnp.asarray(books["scl"]),
+        vq=tuple(jnp.asarray(b) for b in books["vq"]),
+        scl_bl=jnp.asarray(books["scl_bl"]),
+        vq_bl=tuple(jnp.asarray(b) for b in books["vq_bl"]),
+    )
+    enc = encode(params, cbs, jnp.asarray(feat), l1=l1, l2=l2,
+                 pitch_lag=1)
+
+    np.testing.assert_array_equal(
+        np.asarray(enc["ind1"]).astype(int)[0],
+        ind1_m.numpy()[0, :, 0].astype(int))
+    np.testing.assert_array_equal(
+        np.asarray(enc["ind2"]).astype(int)[0],
+        ind2_m.numpy()[0, :, 0].astype(int))
+    np.testing.assert_allclose(np.asarray(enc["r_qtz"])[0],
+                               r_qtz.numpy()[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(enc["coded"])[0, :, :18],
+                               c_in.numpy()[0, :, :18],
+                               rtol=1e-4, atol=1e-5)
+
+    # compat-mode decode inverts the compat-mode encode exactly
+    dec = decode(params, cbs, enc["ind1"], enc["ind2"], enc["indices"],
+                 jnp.asarray(feat[..., 18:]), pitch_lag=1)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(
+        enc["coded"]))
+
+
 # ---------------------------------------------------------------------------
 # Forward parity against the reference's OWN model classes
 # ---------------------------------------------------------------------------
