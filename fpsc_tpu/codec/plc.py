@@ -16,12 +16,27 @@ place.
 Concealment policy (standard PLC practice, cf. LPCNet's PLC):
   * residual := 0 on lost frames (predictor free-run);
   * pitch/corr := held from the last received frame;
+  * DAMPING (round 4): the free-run prediction is blended toward a
+    hold of the previous output as the outage lengthens —
+    frame_t = damp^(run-1) * f_out + (1 - damp^(run-1)) * prev — so
+    the first lost frame is pure prediction (where the predictor is
+    good) and a long outage converges to a hold instead of letting
+    the free-running GRU drift out of distribution (round-3
+    measurement: undamped free-run at 25% frame loss landed ABOVE the
+    noise floor, LSD 3.27 vs freeze 1.99);
+  * ENERGY CAP: concealed c0 is clamped to min(c0, prev c0) — since
+    prev during an outage is itself concealed, energy is monotone
+    non-increasing from the last received frame (no synthesized
+    onsets during a loss);
   * after `fade_after` consecutive lost frames the energy cepstrum c0
     is faded by `fade_step` per frame (features are in MAXI-normalised
     log10-energy units, so 0.012 * 24.1 ~ 2.9 dB per 10 ms frame:
     a long burst fades to silence over ~100 ms instead of freezing on
     a synthetic vowel).  The faded frame is also what feeds back into
     the predictor, so the decoder's state tracks its own output.
+
+damp=1.0, energy_cap=False reproduces the round-3 pure free-run
+arithmetic exactly (pinned by the slow-oracle test).
 
 With `lost` all-False the scan is arithmetically identical to
 frame_predictor.decoder (pinned in tests/test_plc.py).
@@ -49,7 +64,9 @@ def conceal_decode(params: fp.FramePredictorParams,
                    pitch: jax.Array, lost: jax.Array,
                    fade_after: int = 3,
                    fade_step: float = 0.012,
-                   freeze: bool = False) -> jax.Array:
+                   freeze: bool = False,
+                   damp: float = 0.85,
+                   energy_cap: bool = True) -> jax.Array:
     """Closed-loop decode with frame-erasure concealment.
 
     Args are those of codec.decode plus `lost` (B, L) bool — frames
@@ -67,14 +84,17 @@ def conceal_decode(params: fp.FramePredictorParams,
     r = dequantize_residual(codebooks, ind1, ind2, indices)
     return conceal_decode_residual(params, r, pitch, lost,
                                    fade_after=fade_after,
-                                   fade_step=fade_step, freeze=freeze)
+                                   fade_step=fade_step, freeze=freeze,
+                                   damp=damp, energy_cap=energy_cap)
 
 
 def conceal_decode_residual(params: fp.FramePredictorParams,
                             r: jax.Array, pitch: jax.Array,
                             lost: jax.Array, fade_after: int = 3,
                             fade_step: float = 0.012,
-                            freeze: bool = False) -> jax.Array:
+                            freeze: bool = False,
+                            damp: float = 0.85,
+                            energy_cap: bool = True) -> jax.Array:
     """conceal_decode on pre-dequantised residuals (B, L, 18) — the
     entry FEC decoding uses, where each frame's residual may come from
     a different codebook set (full primary vs lean redundancy)."""
@@ -90,6 +110,7 @@ def conceal_decode_residual(params: fp.FramePredictorParams,
           "lost": jnp.swapaxes(lost, 0, 1)}
     fade_hold = jnp.asarray(fade_after, r.dtype)
     fade = jnp.asarray(fade_step, r.dtype)
+    damp_c = jnp.asarray(damp, r.dtype)
 
     def scan_step(carry, x):
         h1, h2, prev, prev_pitch, run = carry
@@ -99,7 +120,15 @@ def conceal_decode_residual(params: fp.FramePredictorParams,
         f_out, h1, h2 = fp.step(params, h1, h2, inp)
         run = (run + 1.0) * (1.0 - keep)   # consecutive-loss counter
         att = jnp.maximum(run - fade_hold, 0.0) * fade
-        frame = f_out + x["r"] * keep[:, None]
+        # damped concealment: pure free-run on the first lost frame,
+        # geometric blend toward a hold as the outage lengthens
+        alpha = damp_c ** jnp.maximum(run - 1.0, 0.0)
+        f_con = alpha[:, None] * f_out + (1.0 - alpha)[:, None] * prev
+        if energy_cap:
+            f_con = f_con.at[:, 0].set(
+                jnp.minimum(f_con[:, 0], prev[:, 0]))
+        frame = jnp.where(x["lost"][:, None], f_con,
+                          f_out + x["r"] * keep[:, None])
         if freeze:
             frame = jnp.where(x["lost"][:, None], prev, frame)
         frame = frame.at[:, 0].add(-att)

@@ -363,7 +363,9 @@ def _conceal_decoder_step(params: fp.FramePredictorParams,
                           fade_after: int = 3,
                           fade_step: float = 0.012,
                           freeze: bool = False,
-                          fec_codebooks: fp.Codebooks = None):
+                          fec_codebooks: fp.Codebooks = None,
+                          damp: float = 0.85,
+                          energy_cap: bool = True):
     """Per-frame decode with erasure concealment (the streaming twin
     of codec/plc.conceal_decode — same policy, same arithmetic):
     (state, ind1, ind2, indices, pitch (B,2), lost (B,)) ->
@@ -386,7 +388,13 @@ def _conceal_decoder_step(params: fp.FramePredictorParams,
         f_out, h1, h2 = fp.step(params, h1, h2, x)
         run = (run + 1.0) * (1.0 - keep)
         att = jnp.maximum(run - float(fade_after), 0.0) * fade_step
-        coded = f_out + r_qtz * keep[:, None]
+        alpha = float(damp) ** jnp.maximum(run - 1.0, 0.0)
+        f_con = alpha[:, None] * f_out + (1.0 - alpha)[:, None] * prev
+        if energy_cap:
+            f_con = f_con.at[:, 0].set(
+                jnp.minimum(f_con[:, 0], prev[:, 0]))
+        coded = jnp.where(lost[:, None], f_con,
+                          f_out + r_qtz * keep[:, None])
         if freeze:
             coded = jnp.where(lost[:, None], prev, coded)
         coded = coded.at[:, 0].add(-att)
@@ -414,7 +422,8 @@ class StreamingReceiver:
                  voc_params: lpcnet.LPCNetParams,
                  seed: int = 0, batch: int = 1,
                  fade_after: int = 3, fade_step: float = 0.012,
-                 fec_codebooks: fp.Codebooks = None):
+                 fec_codebooks: fp.Codebooks = None,
+                 damp: float = 0.85, energy_cap: bool = True):
         self.batch = batch
         self.key = jax.random.PRNGKey(seed)
         self._enc_params = enc_params
@@ -430,7 +439,8 @@ class StreamingReceiver:
         self.reset()
         dec = _conceal_decoder_step(enc_params, codebooks,
                                     fade_after, fade_step,
-                                    fec_codebooks=fec_codebooks)
+                                    fec_codebooks=fec_codebooks,
+                                    damp=damp, energy_cap=energy_cap)
         voc = _vocoder_step(voc_params)
 
         def tick(dec_state, voc_state, key, ind1, ind2, indices,

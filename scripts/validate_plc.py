@@ -9,12 +9,16 @@ needs one.  This validates the two halves built in round 3:
    (fresh prior-seeded models per packet): measure the rate overhead
    vs packet size against the whole-utterance packer, and verify the
    lossless packetized decode is index-exact.
-2. `codec/plc.conceal_decode` — receiver-side concealment (predictor
-   free-run, pitch hold, energy fade): drop packets at 5/10/20% (iid)
-   and 10% bursty (mean 4 frames), decode + synthesize through the
-   SAVED flagship vocoder, and measure decoded-audio Bark-LSD vs the
-   lossless decode, the repeat-last-frame baseline, and the noise
-   floor.
+2. `codec/plc.conceal_decode` — receiver-side concealment (damped
+   free-run -> hold blend, pitch hold, energy cap + fade): drop
+   packets at 5/10/20% (iid) and 10% bursty (mean 4 frames), decode +
+   synthesize through the SAVED flagship vocoder, and measure
+   decoded-audio Bark-LSD vs the lossless decode, the
+   repeat-last-frame baseline, the round-3 UNDAMPED free-run, in-band
+   FEC, and the noise floor.  Round 4: every condition is evaluated
+   over N_SEEDS independent loss masks (batched through the vocoder
+   in one call) and reported mean +/- std — round 3's single-seed
+   4-utterance numbers could not rank arms <0.1 LSD apart.
 
 Reuses the saved flagship artifacts (run validate_flagship.py first):
 
@@ -176,13 +180,20 @@ def main(label=None, epoch=None):
     pat = auto_block_pattern(voc)
 
     n_eval = 4
+    n_seeds = 3
     truth = [deemphasis(val["x"][i]) for i in range(n_eval)]
     pitch = jnp.asarray(feat_val[:n_eval, :, 18:])
     sub = {k: jnp.asarray(v[:n_eval]) for k, v in idx.items()}
     i1 = jnp.asarray(ind1[:n_eval])
     i2 = jnp.asarray(ind2[:n_eval])
 
-    def audio_lsd(coded):
+    def tile(a, k=None):
+        a = jnp.asarray(a)
+        return jnp.concatenate([a] * (k or n_seeds), axis=0)
+
+    def audio_lsd(coded, per_seed=False):
+        """coded (n_seeds*n_eval | n_eval, L, 20) -> mean LSD, or
+        (mean, std-over-seeds) when per_seed; one vocoder call."""
         coded = np.asarray(coded)
         coded_un = coded * pitch_scale
         periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
@@ -195,13 +206,18 @@ def main(label=None, epoch=None):
             jnp.asarray(lpc), jax.random.PRNGKey(7),
             corr=jnp.asarray(coded_un[..., 19]), gru_a_pattern=pat))
         lsds = []
-        for i in range(n_eval):
-            n = min(len(truth[i]), y.shape[1])
-            lsds.append(log_spectral_distance(truth[i][:n], y[i, :n]))
-        return float(np.mean(lsds))
+        for i in range(coded.shape[0]):
+            t = truth[i % n_eval]
+            n = min(len(t), y.shape[1])
+            lsds.append(log_spectral_distance(t[:n], y[i, :n]))
+        if not per_seed:
+            return float(np.mean(lsds))
+        per = np.asarray(lsds).reshape(-1, n_eval).mean(axis=1)
+        return float(per.mean()), float(per.std())
 
-    print("=== 2. decoded-audio Bark-LSD under loss (conceal vs "
-          "freeze) ===", flush=True)
+    print(f"=== 2. decoded-audio Bark-LSD under loss "
+          f"({n_seeds} seeds x {n_eval} utts per condition) ===",
+          flush=True)
     t0 = time.time()
     lossless = audio_lsd(decode(params, codebooks, i1, i2, sub, pitch))
     noise_sig = np.random.RandomState(0).randn(
@@ -210,43 +226,59 @@ def main(label=None, epoch=None):
     print(f"  lossless {lossless:.3f}; noise floor {lsd_noise:.3f}",
           flush=True)
 
-    rng = np.random.RandomState(7)
     pf = 5  # 50 ms packets
     n_pkts = (length + pf - 1) // pf
+
+    def masks_for(kind, rate):
+        """(n_seeds*n_eval, L) loss masks, independent per seed."""
+        out = []
+        for s in range(n_seeds):
+            rng = np.random.RandomState(1000 * s + 7)
+            if kind == "iid":
+                m = np.repeat(np.stack([plc.packet_loss_mask(
+                    rng, n_pkts, rate) for _ in range(n_eval)]), pf,
+                    axis=1)[:, :length]
+            else:
+                m = plc.burst_loss_mask(rng, n_eval, length, rate,
+                                        mean_burst=4.0)
+            out.append(m)
+        return np.concatenate(out, axis=0)
+
+    i1_t, i2_t, pitch_t = tile(i1), tile(i2), tile(pitch)
+    sub_t = {k: tile(v) for k, v in sub.items()}
+    pcodes_all = [bs.quantize_pitch(feat_val[b, :, 18:] * pitch_scale)
+                  for b in range(n_eval)]
     rows = []
-    for tag, mask in [
-        ("iid  5%", np.repeat(np.stack([plc.packet_loss_mask(
-            rng, n_pkts, 0.05) for _ in range(n_eval)]), pf,
-            axis=1)[:, :length]),
-        ("iid 10%", np.repeat(np.stack([plc.packet_loss_mask(
-            rng, n_pkts, 0.10) for _ in range(n_eval)]), pf,
-            axis=1)[:, :length]),
-        ("iid 20%", np.repeat(np.stack([plc.packet_loss_mask(
-            rng, n_pkts, 0.20) for _ in range(n_eval)]), pf,
-            axis=1)[:, :length]),
-        ("burst 10%", plc.burst_loss_mask(rng, n_eval, length, 0.10,
-                                          mean_burst=4.0)),
-    ]:
+    for tag, kind, rate in [("iid  5%", "iid", 0.05),
+                            ("iid 10%", "iid", 0.10),
+                            ("iid 20%", "iid", 0.20),
+                            ("burst 10%", "burst", 0.10)]:
+        mask = masks_for(kind, rate)
         lost = jnp.asarray(mask)
-        con = plc.conceal_decode(params, codebooks, i1, i2, sub,
-                                 pitch, lost)
-        frz = plc.conceal_decode(params, codebooks, i1, i2, sub,
-                                 pitch, lost, freeze=True)
+        arms = {
+            "conceal": plc.conceal_decode(
+                params, codebooks, i1_t, i2_t, sub_t, pitch_t, lost),
+            "undamped": plc.conceal_decode(
+                params, codebooks, i1_t, i2_t, sub_t, pitch_t, lost,
+                damp=1.0, energy_cap=False),
+            "freeze": plc.conceal_decode(
+                params, codebooks, i1_t, i2_t, sub_t, pitch_t, lost,
+                freeze=True),
+        }
         # FEC arm: packet-level losses recover from the next packet's
         # lean redundancy (frame-level burst masks approximate to
         # packet drops for this arm)
         pkt_lost = mask[:, ::pf][:, :n_pkts]
         fec_coded = []
-        for b in range(n_eval):
+        for j in range(n_seeds * n_eval):
+            b = j % n_eval
             row = {k: v[b] for k, v in idx.items()}
-            pcodes = bs.quantize_pitch(
-                feat_val[b, :, 18:] * pitch_scale)
             pkts = rc.pack_packets_fec(
-                ind1[b], ind2[b], row, pcodes, sizes,
+                ind1[b], ind2[b], row, pcodes_all[b], sizes,
                 {k: v[b] for k, v in fec_idx.items()}, fec_sizes,
                 packet_frames=pf, **kw)
-            lossy = [None if pkt_lost[b, j] else p
-                     for j, p in enumerate(pkts)]
+            lossy = [None if pkt_lost[j, m] else p
+                     for m, p in enumerate(pkts)]
             got = rc.unpack_packets_fec(lossy, sizes, fec_sizes,
                                         packet_frames=pf,
                                         total_frames=length, **kw)
@@ -254,23 +286,28 @@ def main(label=None, epoch=None):
             fec_coded.append(np.asarray(plc.conceal_decode_residual(
                 params, r, (ptch / pitch_scale).astype(jnp.float32),
                 lst))[0])
-        l_fec = audio_lsd(np.stack(fec_coded))
-        l_con, l_frz = audio_lsd(con), audio_lsd(frz)
-        rows.append((tag, float(mask.mean()), l_con, l_frz, l_fec))
+        res = {name: audio_lsd(c, per_seed=True)
+               for name, c in arms.items()}
+        res["FEC"] = audio_lsd(np.stack(fec_coded), per_seed=True)
+        rows.append((tag, float(mask.mean()), res))
         print(f"  {tag:9s} (frame rate {mask.mean():.1%}): "
-              f"conceal {l_con:.3f}  freeze {l_frz:.3f}  "
-              f"FEC {l_fec:.3f}", flush=True)
+              + "  ".join(f"{n} {m:.3f}+/-{s:.3f}"
+                          for n, (m, s) in res.items()), flush=True)
     print(f"(audio section {time.time()-t0:.0f}s)", flush=True)
 
-    # contracts: every concealment stays far below the noise floor,
-    # degradation is graceful (<= 0.25 LSD over lossless at 10% iid),
-    # loss hurts monotonically across the iid grid (tolerance for
-    # sampling noise), and the FEC arm is at least as good as
-    # concealment at every measured point
-    for tag, fr, l_con, l_frz, l_fec in rows:
+    # contracts: damped concealment stays below the noise floor at
+    # EVERY loss rate (the round-3 failure was 3.27 > 1.55 at 20%),
+    # beats-or-ties the undamped free-run wherever they are separable,
+    # degrades gracefully (<= 0.25 LSD over lossless at 10% iid), and
+    # the FEC arm is at least as good as concealment at every point
+    for tag, fr, res in rows:
+        l_con, s_con = res["conceal"]
         assert l_con < 0.7 * lsd_noise, (tag, l_con, lsd_noise)
-        assert l_fec <= l_con + 0.03, (tag, l_fec, l_con)
-    iid = [r[2] for r in rows[:3]]
+        assert res["FEC"][0] <= l_con + 0.03, (tag, res["FEC"], l_con)
+        l_und, s_und = res["undamped"]
+        tol = 2.0 * (s_con + s_und) / np.sqrt(n_seeds) + 0.02
+        assert l_con <= l_und + tol, (tag, l_con, l_und, tol)
+    iid = [r[2]["conceal"][0] for r in rows[:3]]
     assert iid[1] <= lossless + 0.25, (iid[1], lossless)
     assert iid[0] <= iid[2] + 0.02, iid
     print("PLC VALIDATION PASSED", flush=True)

@@ -56,14 +56,15 @@ def test_conceal_no_loss_matches_decode(setup):
 
 def test_conceal_all_lost_free_runs_predictor(setup):
     """Everything lost -> pure prediction from zero state with held
-    (zero) pitch; slow oracle is a per-frame Python loop."""
+    (zero) pitch; slow oracle is a per-frame Python loop.  damp=1 /
+    energy_cap=False is the documented legacy free-run mode."""
     params, cbs, feat, enc = setup
     b, length = feat.shape[:2]
     pitch = jnp.asarray(feat[..., 18:])
     lost = jnp.ones((b, length), bool)
     con = np.asarray(plc.conceal_decode(
         params, cbs, enc["ind1"], enc["ind2"], enc["indices"], pitch,
-        lost, fade_step=0.0))
+        lost, fade_step=0.0, damp=1.0, energy_cap=False))
 
     h1 = jnp.zeros((b, params.rnn1.units), jnp.float32)
     h2 = jnp.zeros((b, params.rnn2.units), jnp.float32)
@@ -95,6 +96,76 @@ def test_conceal_recovery_contracts_error(setup):
     # closed-loop contraction: the tail error is well below the error
     # at the first received frame after the burst
     assert err[-4:].mean() < 0.5 * err[9], err
+
+
+def test_damped_conceal_matches_slow_oracle(setup):
+    """Round-4 damped policy vs a per-frame Python loop (house
+    convention): blend alpha = damp^(run-1) toward the previous
+    output, c0 capped at prev's c0, fade past fade_after."""
+    params, cbs, feat, enc = setup
+    b, length = feat.shape[:2]
+    pitch = jnp.asarray(feat[..., 18:])
+    lost = np.zeros((b, length), bool)
+    lost[:, 4:12] = True         # 8-frame outage exercises the blend
+    lost[0, 16] = True           # isolated loss: pure free-run frame
+    damp, fade_after, fade_step = 0.8, 3, 0.02
+    con = np.asarray(plc.conceal_decode(
+        params, cbs, enc["ind1"], enc["ind2"], enc["indices"], pitch,
+        jnp.asarray(lost), fade_after=fade_after, fade_step=fade_step,
+        damp=damp))
+
+    from fpsc_tpu.codec.codec import dequantize_residual
+    r = np.asarray(dequantize_residual(cbs, enc["ind1"], enc["ind2"],
+                                       enc["indices"]))
+    h1 = jnp.zeros((b, params.rnn1.units), jnp.float32)
+    h2 = jnp.zeros((b, params.rnn2.units), jnp.float32)
+    prev = np.zeros((b, 18), np.float32)
+    prev_pitch = np.zeros((b, 2), np.float32)
+    run = np.zeros((b,), np.float32)
+    for t in range(length):
+        lt = lost[:, t]
+        pit = np.where(lt[:, None], prev_pitch,
+                       feat[:, t, 18:]).astype(np.float32)
+        inp = jnp.asarray(np.concatenate([prev, pit], axis=-1))
+        f_out, h1, h2 = fp.step(params, h1, h2, inp)
+        f_out = np.asarray(f_out)
+        run = np.where(lt, run + 1.0, 0.0)
+        alpha = damp ** np.maximum(run - 1.0, 0.0)
+        f_con = alpha[:, None] * f_out + (1 - alpha)[:, None] * prev
+        f_con[:, 0] = np.minimum(f_con[:, 0], prev[:, 0])
+        frame = np.where(lt[:, None], f_con, f_out + r[:, t])
+        frame[:, 0] -= np.maximum(run - fade_after, 0.0) * fade_step
+        np.testing.assert_allclose(con[:, t, :18], frame,
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"frame {t}")
+        prev, prev_pitch = frame.astype(np.float32), pit
+    # energy during the outage is monotone non-increasing
+    c0 = con[:, 3:12, 0]
+    assert np.all(np.diff(c0, axis=1) <= 1e-6)
+
+
+def test_damped_conceal_bounded_on_long_outage(setup):
+    """The round-3 failure mode: undamped free-run can drift
+    arbitrarily; the damped output must stay within the envelope of
+    the last received frame (plus fade) for every concealed frame."""
+    params, cbs, feat, enc = setup
+    b, length = feat.shape[:2]
+    pitch = jnp.asarray(feat[..., 18:])
+    lost = np.zeros((b, length), bool)
+    lost[:, 6:] = True
+    con = np.asarray(plc.conceal_decode(
+        params, cbs, enc["ind1"], enc["ind2"], enc["indices"], pitch,
+        jnp.asarray(lost)))
+    # c0 never rises above the last received frame's c0
+    assert np.all(con[:, 6:, 0] <= con[:, 5, 0][:, None] + 1e-6)
+    # the tail converges toward a hold (c0 excluded — its diff
+    # converges to the deliberate fade_step, not zero): per-frame
+    # movement contracts and stays contracted (the faded c0 feeding
+    # back keeps the predictor moving slightly, so the floor is ~0.4x,
+    # not 0 — still an order of magnitude below undamped free-run)
+    d = np.abs(np.diff(con[:, 6:, 1:18], axis=1)).mean(axis=(0, 2))
+    assert d[-1] < 0.5 * d[0] + 1e-6, d
+    assert d[3:].min() < 0.25 * d[0] + 1e-6, d
 
 
 def test_fade_attenuates_c0_on_long_burst(setup):
