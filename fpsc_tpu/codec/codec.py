@@ -35,16 +35,18 @@ from fpsc_tpu.quant.vq import vq_dequantize
 def encode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
            feat: jax.Array, l1: float = 0.09, l2: float = 0.28,
            use_mask: bool = False, scale: float = 1000.0,
-           pitch_lag: int = 0) -> Dict:
+           pitch_lag: int = 0, send=None) -> Dict:
     """feat: (B, L, 20) normalised [ceps|pitch] frames.
 
     Returns dict with coded (B, L, 20) normalised coded frames,
     ind1/ind2 (B, L) bool, indices (index streams, -1 = unused),
     counts (per-codebook usage).  pitch_lag=1 selects the
     reference-checkpoint pitch convention (frame_predictor._lag_pitch)
-    so imported .pth predictors run in-distribution.
+    so imported .pth predictors run in-distribution.  send (threshold
+    path only): frame-decimation pattern — see frame_predictor.encoder.
     """
     if use_mask:
+        assert send is None, "decimation rides the threshold path"
         out = fp.mask_enc(params, feat, scale=scale,
                           codebooks=codebooks, qtz=True,
                           pitch_lag=pitch_lag)
@@ -56,7 +58,7 @@ def encode(params: fp.FramePredictorParams, codebooks: fp.Codebooks,
     else:
         out = fp.encoder(params, feat, l1=l1, l2=l2,
                          codebooks=codebooks, qtz=True,
-                         pitch_lag=pitch_lag)
+                         pitch_lag=pitch_lag, send=send)
         ind1, ind2 = out["ind1"], out["ind2"]
         r_qtz, r = out["r_qtz"], out["r"]
     counts = fp.usage_counts(codebooks, out["indices"])

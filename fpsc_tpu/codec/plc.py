@@ -196,6 +196,51 @@ def fec_merge_residual(codebooks: fp.Codebooks,
     return r, pitch, lost
 
 
+class AdaptiveFecPolicy:
+    """Sender-side in-band FEC controller (RTCP-receiver-report style).
+
+    The redundancy stream costs real rate (+80-90% at 50 ms packets,
+    VALIDATION.md round 4), so a deployed sender ships it only while
+    the receiver actually reports loss.  The receiver needs no
+    signalling: pack_packets_fec(fec_mask=...) writes fn=0 on packets
+    without redundancy, a layout every unpacker already handles.
+
+    report(lost, total) folds a receiver report into an EMA of the
+    packet-loss rate; `enabled` turns FEC on above `on_threshold` and
+    back off below `off_threshold` (hysteresis — loss estimates are
+    noisy, and flapping FEC mid-burst is worse than either steady
+    state).  mask(n) materialises the per-packet fec_mask for the next
+    n packets at the current decision.
+    """
+
+    def __init__(self, on_threshold: float = 0.02,
+                 off_threshold: float = 0.005, ema: float = 0.7,
+                 start_enabled: bool = False):
+        assert 0.0 <= off_threshold <= on_threshold
+        self.on_threshold = on_threshold
+        self.off_threshold = off_threshold
+        self.ema = ema
+        self.loss_rate = 0.0
+        self.enabled = start_enabled
+
+    def report(self, lost: int, total: int) -> bool:
+        """Fold one receiver report (lost/total packets over the
+        report interval) into the estimate; returns `enabled`."""
+        if total > 0:
+            self.loss_rate = (self.ema * self.loss_rate
+                              + (1.0 - self.ema) * lost / total)
+        if self.enabled:
+            self.enabled = self.loss_rate >= self.off_threshold
+        else:
+            self.enabled = self.loss_rate >= self.on_threshold
+        return self.enabled
+
+    def mask(self, n_packets: int) -> np.ndarray:
+        """fec_mask for the next n packets (constant at the current
+        decision; re-evaluate per report interval)."""
+        return np.full(n_packets, self.enabled, bool)
+
+
 # --------------------------------------------------------------------------
 # Channel simulation (host-side numpy)
 # --------------------------------------------------------------------------

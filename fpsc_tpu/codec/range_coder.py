@@ -692,7 +692,7 @@ def pack_packets_fec(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
                      fec_indices: Dict, fec_sizes: Dict,
                      packet_frames: int, static_models: Dict = None,
                      priors: Dict = None, fec_priors: Dict = None,
-                     orders: Dict = None) -> list:
+                     orders: Dict = None, fec_mask=None) -> list:
     """pack_packets with in-band redundancy (Opus-LBRR style).
 
     Packet i carries its primary span (full-preset streams) PLUS a
@@ -704,6 +704,12 @@ def pack_packets_fec(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
     one packet late; concealment remains for back-to-back losses.
     Packet layout: [1B primary n | 1B fec n | 2B primary body len |
     primary body | fec body], every body self-contained.
+
+    `fec_mask` (per-packet bools, adaptive senders) gates the
+    redundancy: packet i ships span i-1's redundant body only when
+    fec_mask[i] is truthy (fn=0 otherwise — the format every receiver
+    already handles, so FEC can toggle mid-stream with no signalling;
+    see plc.AdaptiveFecPolicy for the loss-feedback controller).
     """
     length = len(np.asarray(ind1))
     assert 1 <= packet_frames <= 255, packet_frames
@@ -716,7 +722,7 @@ def pack_packets_fec(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
     for i, (s, e) in enumerate(spans):
         body = _pack_span(ind1, ind2, indices, pcodes, sizes, s, e,
                           *kw)
-        if i == 0:
+        if i == 0 or (fec_mask is not None and not fec_mask[i]):
             fec = b""
             fn = 0
         else:

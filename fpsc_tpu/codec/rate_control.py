@@ -55,27 +55,120 @@ def _rc():
     return native_rc.best()
 
 # codebook-subset presets, richest first.  vq_stages = above-threshold
-# VQ stages kept; vq_bl = keep the below-threshold VQ stream.
+# VQ stages kept; vq_bl = keep the below-threshold VQ stream;
+# scl_entries / scl_bl_entries = coarsen the scalar gain books to that
+# many quantile-subsampled entries; decimate = transmit only
+# (decimate-1)/decimate of the frames, the receiver free-runs the
+# predictor through the gaps (frame_predictor.encoder `send`).  The
+# ultra presets push below the 800 b/s floor of the codebook-subset
+# frontier (VERDICT r3 next #6).
 PRESETS: Dict[str, Dict] = {
     "full":   {"vq_stages": None, "vq_bl": True},
     "vq1":    {"vq_stages": 1,    "vq_bl": True},
     "novqbl": {"vq_stages": None, "vq_bl": False},
     "lean":   {"vq_stages": 1,    "vq_bl": False},
+    "ultra":  {"vq_stages": 1, "vq_bl": False, "scl_entries": 64,
+               "scl_bl_entries": 8, "decimate": 3},
+    "ultra2": {"vq_stages": 1, "vq_bl": False, "scl_entries": 64,
+               "scl_bl_entries": 8, "decimate": 2},
 }
 
 
+def coarsen_scalar(cb: jax.Array, entries: int) -> jax.Array:
+    """Quantile-subsample a trained (sorted) scalar codebook to
+    `entries` levels.  The trained book's entries are already
+    occupancy-balanced (LBG), so evenly spaced ranks approximate the
+    optimal coarse book without retraining; endpoints are kept so the
+    dynamic range survives."""
+    n = int(cb.shape[0])
+    if entries >= n:
+        return cb
+    ranks = np.round(np.linspace(0, n - 1, entries)).astype(np.int32)
+    return jnp.sort(cb)[ranks]
+
+
 def preset_codebooks(codebooks: fp.Codebooks, vq_stages=None,
-                     vq_bl: bool = True) -> fp.Codebooks:
+                     vq_bl: bool = True, scl_entries: int = None,
+                     scl_bl_entries: int = None,
+                     decimate: int = 1) -> fp.Codebooks:
     """Derive a reduced codebook set from the trained artifacts.
 
-    The scalar gains are always kept (they carry the envelope); only
-    vector stages are dropped.  The result plugs into encode/decode/
-    pack/unpack unchanged — the bitstream layout follows the sizes
-    dict derived from whatever books are present."""
+    The scalar gains are always kept (they carry the envelope) but may
+    be coarsened; vector stages are dropped.  `decimate` is accepted
+    so PRESETS specs pass through `**spec` unchanged — frame
+    decimation itself lives in the encode/pack path (send_pattern/
+    decimate_streams), not in the codebooks.  The result plugs into
+    encode/decode/pack/unpack unchanged — the bitstream layout follows
+    the sizes dict derived from whatever books are present."""
+    del decimate
     vq = codebooks.vq if vq_stages is None else codebooks.vq[:vq_stages]
+    scl = codebooks.scl if scl_entries is None else coarsen_scalar(
+        codebooks.scl, scl_entries)
+    scl_bl = codebooks.scl_bl
+    if scl_bl is not None and scl_bl_entries is not None:
+        scl_bl = coarsen_scalar(scl_bl, scl_bl_entries)
     return fp.Codebooks(
-        scl=codebooks.scl, vq=tuple(vq), scl_bl=codebooks.scl_bl,
+        scl=scl, vq=tuple(vq), scl_bl=scl_bl,
         vq_bl=codebooks.vq_bl if vq_bl else None)
+
+
+def send_pattern(length: int, decimate: int) -> np.ndarray:
+    """(L,) bool transmission pattern: every decimate-th frame is
+    skipped (receiver free-runs through it).  Frame 0 always sends;
+    decimate=1 sends everything."""
+    send = np.ones(length, bool)
+    if decimate > 1:
+        send[decimate - 1::decimate] = False
+    return send
+
+
+def decimate_streams(ind1, ind2, indices: Dict, pcodes,
+                     send: np.ndarray):
+    """Subsample one utterance's symbol streams to the transmitted
+    frames (feed the result to any pack_* layer unchanged)."""
+    keep = np.asarray(send, bool)
+    return (np.asarray(ind1)[keep], np.asarray(ind2)[keep],
+            {k: np.asarray(v)[keep] for k, v in indices.items()},
+            np.asarray(pcodes)[keep])
+
+
+def expand_streams(got: Dict, send: np.ndarray) -> Dict:
+    """Inverse of decimate_streams on the receiver: scatter unpacked
+    kept-frame streams back to full length.  Skipped frames come back
+    as untransmitted (-1 indices, False indicators) and are marked in
+    `lost` — decode them with plc.conceal_decode(damp=1,
+    energy_cap=False, fade_step=0), which is arithmetically the
+    encoder's own feedback on those frames."""
+    send = np.asarray(send, bool)
+    length = len(send)
+    kept = int(send.sum())
+    out = {"ind1": np.zeros(length, bool),
+           "ind2": np.zeros(length, bool),
+           "lost": ~send,
+           "indices": {}}
+    out["ind1"][send] = np.asarray(got["ind1"])[:kept]
+    out["ind2"][send] = np.asarray(got["ind2"])[:kept]
+    for k, v in got["indices"].items():
+        v = np.asarray(v)
+        full = np.full((length,) + v.shape[1:], -1, v.dtype)
+        full[send] = v[:kept]
+        out["indices"][k] = full
+    if "pitch" in got:
+        p = np.asarray(got["pitch"])
+        full = np.zeros((length,) + p.shape[1:], p.dtype)
+        full[send] = p[:kept]
+        # hold the last transmitted pitch through the gaps (what both
+        # the encoder conditioning and conceal_decode expect)
+        for t in range(1, length):
+            if not send[t]:
+                full[t] = full[t - 1]
+        out["pitch"] = full
+    # transport losses on top of decimation: a lost KEPT frame is lost
+    if "lost" in got:
+        lost_kept = np.asarray(got["lost"])[:kept]
+        out["lost"] = out["lost"].copy()
+        out["lost"][send] |= lost_kept
+    return out
 
 
 def _streams_for(enc: Dict, feat: np.ndarray, pitch_scale: float):
@@ -99,13 +192,18 @@ def measure_operating_points(params, codebooks, feat,
                              normalized: bool = True,
                              preset: str = "full",
                              use_mask: bool = False,
-                             mask_scale: float = 1000.0) -> List[Dict]:
+                             mask_scale: float = 1000.0,
+                             decimate: int = 1) -> List[Dict]:
     """feat: (B, L, 36-or-20) calibration frames (normalised when
     `normalized`).  Returns one dict per scale: {scale, l1, l2, bps,
     mse, priors, orders} with bps = mean entropy-coded rate over the
     batch (shared priors collected from the same batch — in-sample,
     like the artifacts each preset would ship) and mse = coded-feature
-    MSE over the 18 cepstral dims."""
+    MSE over the 18 cepstral dims.  decimate>1: only
+    (decimate-1)/decimate of the frames are transmitted (the encoder
+    free-runs through the gaps, send_pattern); bits are amortised over
+    ALL frames and the MSE includes the free-run frames — the rate
+    and quality a deployed decimated receiver actually sees."""
     feat = jnp.asarray(feat)
     pitch_scale = C.MAXI if normalized else 1.0
     sizes = {
@@ -121,32 +219,38 @@ def measure_operating_points(params, codebooks, feat,
     # use_mask: indicators come from the trained mask head
     # (the reference's deployed encoder) — the threshold scale is
     # inert, so callers sweep presets only (scales=(1.0,))
+    send = None
+    if decimate > 1:
+        assert not use_mask, "decimation rides the threshold path"
+        send = send_pattern(int(feat.shape[1]), decimate)
     enc_jit = jax.jit(
-        lambda p, c, f, a, b: encode(p, c, f, l1=a, l2=b,
-                                     use_mask=use_mask,
-                                     scale=mask_scale))
+        lambda p, c, f, a, b: encode(
+            p, c, f, l1=a, l2=b, use_mask=use_mask, scale=mask_scale,
+            send=None if send is None else jnp.asarray(send)))
     points = []
     feat_np = np.asarray(feat)
     for s in scales:
         enc = enc_jit(params, codebooks, feat,
                       jnp.float32(l1 * s), jnp.float32(l2 * s))
         streams = _streams_for(enc, feat_np, pitch_scale)
+        total_frames = sum(len(st[0]) for st in streams)
+        if send is not None:
+            streams = [decimate_streams(*st, send) for st in streams]
         priors = rc.collect_priors(streams, sizes, orders=orders)
-        bits = frames = 0
+        bits = 0
         for i1, i2, ix, pc in streams:
             payload = rc.pack_utterance_rc(i1, i2, ix, pc, sizes,
                                            priors=priors,
                                            orders=orders)
             bits += len(payload) * 8
-            frames += len(i1)
         coded = np.asarray(enc["coded"])
         mse = float(np.mean(
             (coded[..., :18] - feat_np[..., :18]) ** 2))
         points.append({"preset": preset, "scale": float(s),
                        "l1": l1 * s, "l2": l2 * s,
-                       "bps": bits / frames * 100.0, "mse": mse,
+                       "bps": bits / total_frames * 100.0, "mse": mse,
                        "priors": priors, "orders": orders,
-                       "sizes": sizes})
+                       "sizes": sizes, "decimate": decimate})
     return points
 
 
@@ -169,13 +273,15 @@ def measure_rd_surface(params, codebooks, feat,
     (each point carries its preset name + sizes dict + priors)."""
     if use_mask:
         scales = (1.0,)
+        presets = {n: s for n, s in presets.items()
+                   if s.get("decimate", 1) == 1}
     points = []
     for name, spec in presets.items():
         cbs = preset_codebooks(codebooks, **spec)
         points.extend(measure_operating_points(
             params, cbs, feat, scales=scales, l1=l1, l2=l2,
             normalized=normalized, preset=name, use_mask=use_mask,
-            mask_scale=mask_scale))
+            mask_scale=mask_scale, decimate=spec.get("decimate", 1)))
     return points
 
 

@@ -228,13 +228,22 @@ def encoder(params: FramePredictorParams, feat: jax.Array,
             l1: float, l2: float,
             codebooks: Optional[Codebooks] = None,
             mask: Optional[jax.Array] = None,
-            qtz: bool = True, pitch_lag: int = 0):
+            qtz: bool = True, pitch_lag: int = 0,
+            send: Optional[jax.Array] = None):
     """Closed-loop threshold-split encode as one lax.scan.
 
     feat: (B, L, 20) normalised [ceps(18) | pitch(2)] frames.
     mask: optional (B, L, 2) external indicators overriding the
     thresholds (reference's `mask` argument).
     pitch_lag: 1 = reference-checkpoint pitch convention (_lag_pitch).
+    send: optional (L,) or (B, L) bool — frame-decimation pattern for
+    the sub-800 b/s presets.  On send=False frames NOTHING is
+    transmitted: the encoder quantises no residual (indices -1,
+    indicators False), holds the pitch conditioning, and feeds back
+    its own prediction — byte-for-byte what a receiver running
+    plc.conceal_decode(lost=~send, damp=1, energy_cap=False,
+    fade_step=0) reconstructs, so the closed loop stays consistent
+    end to end (pinned in tests/test_rate_control.py).
 
     Returns dict with:
       c_in   (B, L, 20): coded frames (prediction + kept residual,
@@ -247,6 +256,7 @@ def encoder(params: FramePredictorParams, feat: jax.Array,
     """
     b, length, _ = feat.shape
     ceps, pitch = feat[..., :NB_CEPS], feat[..., NB_CEPS:]
+    assert send is None or qtz, "decimation needs the quantised path"
 
     h1 = jnp.zeros((b, params.rnn1.units), feat.dtype)
     h2 = jnp.zeros((b, params.rnn2.units), feat.dtype)
@@ -256,10 +266,18 @@ def encoder(params: FramePredictorParams, feat: jax.Array,
           "pitch": jnp.swapaxes(_lag_pitch(pitch, pitch_lag), 0, 1)}
     if mask is not None:
         xs["mask"] = jnp.swapaxes(mask, 0, 1)
+    if send is not None:
+        xs["send"] = jnp.swapaxes(
+            jnp.broadcast_to(jnp.asarray(send, bool), (b, length)), 0, 1)
 
     def scan_step(carry, x):
-        h1, h2, prev = carry
-        inp = jnp.concatenate([prev, x["pitch"]], axis=-1)
+        if send is not None:
+            h1, h2, prev, prev_pitch = carry
+            pit = jnp.where(x["send"][:, None], x["pitch"], prev_pitch)
+        else:
+            h1, h2, prev = carry
+            pit = x["pitch"]
+        inp = jnp.concatenate([prev, pit], axis=-1)
         f_out, h1, h2 = step(params, h1, h2, inp)
         r_s = x["ceps"] - f_out
 
@@ -269,9 +287,19 @@ def encoder(params: FramePredictorParams, feat: jax.Array,
         else:
             ind1 = x["mask"][:, 0] > 0.5
             ind2 = x["mask"][:, 1] > 0.5
+        if send is not None:
+            ind1 = ind1 & x["send"]
+            ind2 = ind2 & x["send"]
 
         if qtz:
             r_qtz, indices = _quantize_residual(codebooks, r_s, ind1, ind2)
+            if send is not None:
+                snd = x["send"]
+                r_qtz = r_qtz * snd[:, None].astype(r_qtz.dtype)
+                indices = {
+                    k: jnp.where(snd[:, None] if v.ndim == 2
+                                 else snd, v, -1)
+                    for k, v in indices.items()}
             prev = f_out + r_qtz
             out = {"c_in": prev, "r": r_s, "r_qtz": r_qtz,
                    "r_under": jnp.zeros_like(r_s),
@@ -286,9 +314,13 @@ def encoder(params: FramePredictorParams, feat: jax.Array,
                    "r_qtz": jnp.zeros_like(r_s),
                    "r_under": r_s * (1.0 - keep),
                    "ind1": ind1, "ind2": ind2}
+        if send is not None:
+            return (h1, h2, prev, pit), out
         return (h1, h2, prev), out
 
-    _, ys = jax.lax.scan(scan_step, (h1, h2, prev), xs)
+    carry0 = (h1, h2, prev) if send is None else (
+        h1, h2, prev, jnp.zeros((b, pitch.shape[-1]), feat.dtype))
+    _, ys = jax.lax.scan(scan_step, carry0, xs)
     out = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), ys)
     out["c_in"] = jnp.concatenate([out["c_in"], pitch], axis=-1)
     return out

@@ -133,9 +133,12 @@ def main(mode="threshold", label=None, epoch=None):
     def heldout(point, check_roundtrip=False):
         cbs = rcctl.preset_codebooks(
             codebooks, **rcctl.PRESETS[point["preset"]])
+        dec_n = point.get("decimate", 1)
+        send = rcctl.send_pattern(feat_val.shape[1], dec_n)
         enc = encode(params, cbs, jnp.asarray(feat_val),
                      l1=point["l1"], l2=point["l2"],
-                     use_mask=use_mask)
+                     use_mask=use_mask,
+                     send=jnp.asarray(send) if dec_n > 1 else None)
         ind1 = np.asarray(enc["ind1"])
         ind2 = np.asarray(enc["ind2"])
         idx = {k: np.asarray(v) for k, v in enc["indices"].items()}
@@ -145,11 +148,39 @@ def main(mode="threshold", label=None, epoch=None):
             pcodes = bs.quantize_pitch(
                 feat_val[b, :, 18:] * pitch_scale)
             row = {k: v[b] for k, v in idx.items()}
+            frames += ind1.shape[1]
+            if dec_n > 1:
+                di1, di2, didx, dpc = rcctl.decimate_streams(
+                    ind1[b], ind2[b], row, pcodes, send)
+                payload = rc.pack_utterance_rc(
+                    di1, di2, didx, dpc, point["sizes"],
+                    priors=point["priors"], orders=orders)
+                bits += len(payload) * 8
+                if check_roundtrip and b == 0:
+                    # deployment chain: unpack kept frames, expand,
+                    # conceal-free-run the gaps == encoder's track
+                    from fpsc_tpu.codec import plc
+                    un = rc.unpack_utterance_rc(
+                        payload, point["sizes"],
+                        priors=point["priors"], orders=orders)
+                    exp = rcctl.expand_streams(un, send)
+                    con = plc.conceal_decode(
+                        params, cbs, jnp.asarray(exp["ind1"][None]),
+                        jnp.asarray(exp["ind2"][None]),
+                        {k: jnp.asarray(v[None])
+                         for k, v in exp["indices"].items()},
+                        jnp.asarray(feat_val[:1, :, 18:]),
+                        jnp.asarray(exp["lost"][None]),
+                        damp=1.0, energy_cap=False, fade_step=0.0)
+                    np.testing.assert_allclose(
+                        np.asarray(con)[0, :, :18],
+                        np.asarray(enc["coded"])[0, :, :18],
+                        atol=0.02)
+                continue
             payload = rc.pack_utterance_rc(
                 ind1[b], ind2[b], row, pcodes, point["sizes"],
                 priors=point["priors"], orders=orders)
             bits += len(payload) * 8
-            frames += ind1.shape[1]
             if check_roundtrip and b == 0:
                 un = rc.unpack_utterance_rc(
                     payload, point["sizes"],
@@ -190,7 +221,10 @@ def main(mode="threshold", label=None, epoch=None):
                                        + np.log(min(rates))))),
                    min(rates) * 1.05]
     else:
-        targets = [1400.0, 1150.0, 950.0]
+        # 650 lands in ultra-preset territory (decimated frames +
+        # coarse scalar books) — the sub-800 b/s extension of the
+        # frontier (VERDICT r3 next #6)
+        targets = [1400.0, 1150.0, 950.0, 650.0]
     achieved = []
     for tgt in targets:
         sel = rcctl.select_preset(points, tgt)
@@ -246,8 +280,13 @@ def main(mode="threshold", label=None, epoch=None):
     for tgt, sel, bps, mse, err in achieved:
         cbs = rcctl.preset_codebooks(
             codebooks, **rcctl.PRESETS[sel["preset"]])
+        dec_n = sel.get("decimate", 1)
+        send = (jnp.asarray(rcctl.send_pattern(feat_val.shape[1],
+                                               dec_n))
+                if dec_n > 1 else None)
         enc = encode(params, cbs, jnp.asarray(feat_val[:3]),
-                     l1=sel["l1"], l2=sel["l2"], use_mask=use_mask)
+                     l1=sel["l1"], l2=sel["l2"], use_mask=use_mask,
+                     send=send)
         coded = np.asarray(enc["coded"])
         coded_un = coded * pitch_scale
         periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0

@@ -381,6 +381,87 @@ def test_rate_control_presets_invert_and_pack(setup):
                 err_msg=f"{name}:{k}")
 
 
+def test_decimated_encode_round_trips_through_conceal(setup):
+    """The ultra presets' frame decimation: encoder send-mask ->
+    pack only kept frames -> expand -> conceal_decode free-run is
+    EXACTLY the encoder's own coded track (closed-loop consistency),
+    and the packed rate scales with the duty cycle."""
+    from fpsc_tpu.codec import plc
+    from fpsc_tpu.codec import range_coder as rc
+    from fpsc_tpu.codec import rate_control as rcctl
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    params, cbs, feat = setup
+    red = rcctl.preset_codebooks(cbs, **rcctl.PRESETS["ultra"])
+    length = feat.shape[1]
+    send = rcctl.send_pattern(length, 3)
+    assert send[0] and not send[2] and send.mean() == pytest.approx(
+        2 / 3, abs=0.05)
+    enc = encode(params, red, jnp.asarray(feat), send=jnp.asarray(send))
+    sizes = codebook_sizes(red)
+    orders = rc.scalar_orders(red)
+
+    ind1 = np.asarray(enc["ind1"])[0]
+    ind2 = np.asarray(enc["ind2"])[0]
+    row = {k: np.asarray(v)[0] for k, v in enc["indices"].items()}
+    pcodes = bs.quantize_pitch(feat[0, :, 18:] * 24.1)
+    assert not ind1[~send].any() and row["scl"][~send].max() == -1
+
+    di1, di2, didx, dpc = rcctl.decimate_streams(ind1, ind2, row,
+                                                 pcodes, send)
+    payload = rc.pack_utterance_rc(di1, di2, didx, dpc, sizes,
+                                   orders=orders)
+    full = rc.pack_utterance_rc(ind1, ind2, row, pcodes, sizes,
+                                orders=orders)
+    assert len(payload) < 0.85 * len(full), (len(payload), len(full))
+
+    un = rc.unpack_utterance_rc(payload, sizes, orders=orders)
+    un["pitch"] = bs.dequantize_pitch(dpc)
+    exp = rcctl.expand_streams(un, send)
+    np.testing.assert_array_equal(exp["ind1"], ind1)
+    np.testing.assert_array_equal(exp["lost"], ~send)
+    for k in ("scl", "vq"):
+        np.testing.assert_array_equal(exp["indices"][k], row[k],
+                                      err_msg=k)
+    con = plc.conceal_decode(
+        params, red, jnp.asarray(exp["ind1"][None]),
+        jnp.asarray(exp["ind2"][None]),
+        {k: jnp.asarray(v[None]) for k, v in exp["indices"].items()},
+        jnp.asarray(feat[:1, :, 18:]), jnp.asarray(exp["lost"][None]),
+        damp=1.0, energy_cap=False, fade_step=0.0)
+    np.testing.assert_allclose(
+        np.asarray(con)[0, :, :18],
+        np.asarray(enc["coded"])[0, :, :18], rtol=1e-5, atol=1e-6)
+
+
+def test_coarsen_scalar_preserves_range_and_order():
+    from fpsc_tpu.codec import rate_control as rcctl
+    cb = jnp.asarray(np.sort(np.random.RandomState(0).randn(256))
+                     .astype(np.float32))
+    c = np.asarray(rcctl.coarsen_scalar(cb, 64))
+    assert c.shape == (64,)
+    assert c[0] == np.asarray(cb)[0] and c[-1] == np.asarray(cb)[-1]
+    assert (np.diff(c) > 0).all()
+    # no-op when already coarse enough
+    assert rcctl.coarsen_scalar(cb, 256) is cb
+
+
+def test_measure_operating_points_decimated(setup):
+    """decimate=3 rate sits well below the same preset undecimated,
+    and the point dict records the pattern for deployment."""
+    from fpsc_tpu.codec import rate_control as rcctl
+    params, cbs, feat = setup
+    red = rcctl.preset_codebooks(cbs, **rcctl.PRESETS["ultra"])
+    pts_dec = rcctl.measure_operating_points(
+        params, red, jnp.asarray(feat), scales=(1.0,), preset="ultra",
+        decimate=3)
+    pts_full = rcctl.measure_operating_points(
+        params, red, jnp.asarray(feat), scales=(1.0,), preset="lean+")
+    assert pts_dec[0]["decimate"] == 3
+    assert pts_dec[0]["bps"] < 0.85 * pts_full[0]["bps"], (
+        pts_dec[0]["bps"], pts_full[0]["bps"])
+    assert pts_dec[0]["mse"] >= pts_full[0]["mse"]
+
+
 def test_rate_control_frontier_and_preset_selection():
     """pareto_frontier keeps exactly the non-dominated points;
     select_preset returns the best-quality point within budget and

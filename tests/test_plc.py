@@ -508,6 +508,81 @@ def test_fec_packet_receiver_streams_match_offline(setup):
                                    err_msg=f"frame {t}")
 
 
+def test_fec_mask_gates_redundancy(setup):
+    """pack_packets_fec(fec_mask=...) writes fn=0 on gated packets —
+    same bytes as plain packets plus the 2-byte header — and the
+    unpacker degrades to concealment exactly where redundancy was
+    off, with no signalling."""
+    params, cbs, feat, enc = setup
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+    sizes = codebook_sizes(cbs)
+    lean = _lean(cbs)
+    fec_sizes = codebook_sizes(lean)
+    fec_all = plc.fec_requantize(lean, enc["r"], enc["ind1"],
+                                 enc["ind2"])
+    ind1, ind2, idx, pcodes = _streams(enc, feat, 0)
+    fidx = {k: np.asarray(v)[0] for k, v in fec_all.items()}
+    pf = 6
+    n_pkts = (len(ind1) + pf - 1) // pf
+    # mask off everything: byte-identical to plain packets (module the
+    # identical header layout both packers share)
+    off = rc.pack_packets_fec(ind1, ind2, idx, pcodes, sizes, fidx,
+                              fec_sizes, packet_frames=pf,
+                              fec_mask=np.zeros(n_pkts, bool))
+    on = rc.pack_packets_fec(ind1, ind2, idx, pcodes, sizes, fidx,
+                             fec_sizes, packet_frames=pf)
+    assert all(p[1] == 0 for p in off)
+    assert sum(map(len, off)) < sum(map(len, on))
+
+    # partial mask: redundancy only in packet 2 -> losing packet 1
+    # recovers, losing packet 2 conceals
+    mask = np.zeros(n_pkts, bool)
+    mask[2] = True
+    pkts = rc.pack_packets_fec(ind1, ind2, idx, pcodes, sizes, fidx,
+                               fec_sizes, packet_frames=pf,
+                               fec_mask=mask)
+    lossy = list(pkts)
+    lossy[1] = None
+    got = rc.unpack_packets_fec(lossy, sizes, fec_sizes,
+                                packet_frames=pf)
+    assert got["from_fec"][pf:2 * pf].all() and not got["lost"].any()
+    lossy = list(pkts)
+    lossy[2] = None
+    got = rc.unpack_packets_fec(lossy, sizes, fec_sizes,
+                                packet_frames=pf)
+    assert got["lost"][2 * pf:3 * pf].all()
+    assert not got["from_fec"].any()
+
+    # the jitter-buffer receiver handles gated packets identically
+    jbuf = rc.FecPacketReceiver(sizes, fec_sizes, packet_frames=pf)
+    frames = []
+    for p in [pkts[0], None, pkts[2], pkts[3]]:
+        frames += jbuf.push_packet(p)
+    frames += jbuf.finish(final_frames=len(ind1) - 3 * pf)
+    assert [f["from_fec"] for f in frames[pf:2 * pf]] == [True] * pf
+    assert not any(f["lost"] for f in frames[pf:2 * pf])
+
+
+def test_adaptive_fec_policy_hysteresis():
+    pol = plc.AdaptiveFecPolicy(on_threshold=0.02, off_threshold=0.005,
+                                ema=0.5)
+    assert not pol.enabled and not pol.mask(4).any()
+    # clean channel: stays off
+    for _ in range(5):
+        assert not pol.report(0, 50)
+    # loss appears: EMA crosses on_threshold -> enables
+    states = [pol.report(5, 50) for _ in range(4)]
+    assert states[-1] and pol.enabled and pol.mask(3).all()
+    # loss clears: stays on until the EMA decays below off_threshold
+    states = [pol.report(0, 50) for _ in range(12)]
+    assert states[0]          # hysteresis: still on right after
+    assert not states[-1]     # eventually off
+    # report with total=0 leaves the estimate unchanged
+    rate = pol.loss_rate
+    pol.report(0, 0)
+    assert pol.loss_rate == rate
+
+
 def test_loss_mask_helpers():
     rng = np.random.RandomState(0)
     m = plc.random_loss_mask(rng, 4, 2000, 0.1)
