@@ -168,6 +168,11 @@ class TrainConfig:
     scale_max: float = 100.0
     grad_clip: float = 10.0
     debugging: bool = False         # single-batch smoke mode
+    # dump diagnostic images (feature heatmaps, excitation traces,
+    # spectrograms — utils/diagnostics.py, reference
+    # src/train_frame.py:95-114 / train.py:153-165) every N epochs;
+    # 0 = off
+    plot_every: int = 0
     save_every: int = 1             # checkpoint every N epochs (+ last)
     save_dir: str = "runs"
     transfer_model: Optional[str] = None

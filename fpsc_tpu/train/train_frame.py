@@ -28,6 +28,7 @@ from fpsc_tpu.data.dataset import build_dataset, predictor_inputs
 from fpsc_tpu.models import frame_predictor as fp
 from fpsc_tpu.parallel import mesh as meshlib
 from fpsc_tpu.train import checkpoint as ckpt
+from fpsc_tpu.utils import diagnostics
 
 
 def build_model(cfg: Config, key: jax.Array):
@@ -157,6 +158,16 @@ def run(cfg: Config) -> Tuple[fp.FramePredictorParams, float]:
         duration = time.time() - t0
         ckpt.log_epoch(save_dir, label, epoch, duration, train_loss,
                        val_loss, cfg.train.debugging)
+        if diagnostics.should_plot(cfg.train.plot_every, epoch):
+            # reference inspection ergonomics (train_frame.py:95-114):
+            # target vs coded-feature heatmaps for one val utterance
+            import numpy as np
+            out = fp.encoder(params, feat[:1], l1=0.09, l2=0.28,
+                             qtz=False)
+            diagnostics.save_feature_heatmap(
+                save_dir, label, epoch,
+                np.asarray(feat)[0, :, :18],
+                np.asarray(out["c_in"])[0, :, :18])
         should_save = (epoch % max(cfg.train.save_every, 1) == 0
                        or epoch == cfg.train.epochs - 1)
         if not cfg.train.debugging and should_save:

@@ -33,6 +33,7 @@ from fpsc_tpu.dsp import constants as C
 from fpsc_tpu.models import lpcnet
 from fpsc_tpu.parallel import mesh as meshlib
 from fpsc_tpu.train import checkpoint as ckpt
+from fpsc_tpu.utils import diagnostics
 
 
 def vocoder_inputs(batch: Dict, normalize: bool = True) -> Dict:
@@ -96,6 +97,30 @@ def make_step(tx, loss_fn=None, noise_levels: int = 0):
         return loss_fn(params, feat, periods, x, lpc)
 
     return train_step, eval_step
+
+
+def _plot_diagnostics(cfg, label, epoch, params, arrs, bunch):
+    """Per-plot_every-epoch inspection images (reference
+    src/train.py:153-165 excitation traces + utils.py:160-179
+    spectrograms): teacher-forced excitation target vs the model's
+    argmax draw (bunch=1 path), and a log-mel spectrogram of the
+    training signal."""
+    exc_tgt, pred_t = lpcnet.teacher_streams(arrs["x"][:1],
+                                             arrs["lpc"][:1])
+    exc_out = None
+    if bunch == 1:
+        from fpsc_tpu.dsp.mulaw import u2l
+        logits = lpcnet.forward(params, arrs["feat"][:1],
+                                arrs["periods"][:1], arrs["x"][:1],
+                                exc_tgt, pred_t)
+        exc_out = np.asarray(
+            u2l(jnp.argmax(logits, axis=-1)))[0] / 32768.0
+    diagnostics.save_excitation_plot(
+        cfg.train.save_dir, label, epoch, np.asarray(exc_tgt)[0],
+        exc_out)
+    diagnostics.save_spectrogram(
+        cfg.train.save_dir, label, epoch, np.asarray(arrs["x"])[0],
+        name="signal")
 
 
 def _base_freeze_labels(base: lpcnet.LPCNetParams):
@@ -274,6 +299,8 @@ def run(cfg: Config, data_dir: Optional[str] = None,
         duration = time.time() - t0
         ckpt.log_epoch(cfg.train.save_dir, label, epoch, duration,
                        total / max(n, 1), 0.0, cfg.train.debugging)
+        if diagnostics.should_plot(cfg.train.plot_every, epoch):
+            _plot_diagnostics(cfg, label, epoch, params, arrs, bunch)
         should_save = (epoch % max(cfg.train.save_every, 1) == 0
                        or epoch == cfg.train.epochs - 1)
         if not cfg.train.debugging and should_save:

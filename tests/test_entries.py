@@ -158,3 +158,28 @@ def test_synthesis_qtz_deploys_bunched_vocoder_checkpoint(tmp_path):
                      out_dir=str(tmp_path / "qtzb"), use_pallas=False)
     assert len(results) == 1
     assert np.isfinite(results[0]["wav"]).all()
+
+
+def test_diagnostic_images_dumped(tmp_path):
+    """train.plot_every dumps the reference's inspection images
+    (feature heatmaps from train_frame, excitation traces +
+    spectrogram from train_lpcnet) under <save_dir>/<label>/
+    diagnostics/ (utils/diagnostics.py; reference
+    src/train_frame.py:95-114, train.py:153-165)."""
+    from fpsc_tpu.train import train_frame as tf
+    from fpsc_tpu.train import train_lpcnet as tl
+
+    cfg = _tiny_cfg(tmp_path, ["train.plot_every=1",
+                               "label=diagf"])
+    tf.run(cfg)
+    d = tmp_path / "diagf" / "diagnostics"
+    assert (d / "feat_0.png").exists()
+    assert (d / "feat_out_0.png").exists()
+
+    cfg = _tiny_cfg(tmp_path, ["train.plot_every=1",
+                               "label=diagv"])
+    tl.run(cfg)
+    d = tmp_path / "diagv_s" / "diagnostics"
+    assert (d / "exc_0.png").exists()
+    assert (d / "exc_out_0.png").exists()
+    assert (d / "signal_0.png").exists()
