@@ -87,13 +87,26 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             fc1_ref, fc1b_ref, u2l_ref, *refs,
             ha: int, hb: int, levels: int, deemph: float,
             u2l_base: float, acc_dtype, gru_a_pattern=None,
-            sparse_block=(128, 128), bunch: int = 1):
+            sparse_block=(128, 128), bunch: int = 1,
+            w8: bool = False):
     if bunch in (2, 4):
         # sub-sample head dual FCs: bunch=2 -> stacked (2*levels,
         # hb + 2E); bunch=4 -> three per-position blocks stacked
         # row-wise as (6*levels, hb + 3E), block s-1 = [fc3_s; fc4_s]
         fch_ref, fchb_ref = refs[0], refs[1]
         refs = refs[2:]
+    if w8:
+        # int8 weight-only storage: every matmul weight arrives as i8
+        # with a per-output-row f32 scale; the kernel converts i8 ->
+        # acc_dtype feeding each matmul (Mosaic accepts the convert;
+        # i8 ELEMENTWISE ops are still rejected, so nothing else
+        # touches the i8 values) and applies the scale to the matmul
+        # OUTPUT rows - (R, B) elements instead of (R, C), and the
+        # scale multiply stays exact f32.
+        n_s = 7 if bunch in (2, 4) else 6
+        (s_emb, s_wiemb, s_wha, s_wib, s_whb, s_fc1), sfch = \
+            refs[:6], (refs[6] if n_s == 7 else None)
+        refs = refs[n_s:]
     out_ref, h_a_s, h_b_s, hist_s = refs
     f = pl.program_id(0)
     b = h_a_s.shape[1]
@@ -110,12 +123,20 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
     temp = temp_ref[0]              # (1, B) f32 sharpening temperature
     iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (levels, b), 0)
 
+    def wdot(w_ref, x, s_ref):
+        """Weight @ activation with optional int8 dequant: i8 weights
+        convert to acc_dtype feeding the MXU, per-row scales apply to
+        the (R, B) output."""
+        w = w_ref[:].astype(acc_dtype) if w8 else w_ref[:]
+        y = jnp.dot(w, x, preferred_element_type=jnp.float32)
+        return y * s_ref[:] if w8 else y
+
     def emb_of(idx_rows):
         """mu-law embedding via one-hot matmul: (1, B) -> (E, B)."""
-        return jnp.dot(
-            emb_ref[:],
+        return wdot(
+            emb_ref,
             (iota_lvl == idx_rows.astype(jnp.int32)).astype(acc_dtype),
-            preferred_element_type=jnp.float32)
+            s_emb if w8 else None)
 
     def emb_many(rows):
         """n mu-law embeddings in ONE matmul: the n (256, B) one-hots
@@ -137,8 +158,7 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         oh = jnp.concatenate(
             [(iota_lvl == r.astype(jnp.int32)).astype(acc_dtype)
              for r in rows], axis=1)                    # (256, nB)
-        em = jnp.dot(emb_ref[:], oh,
-                     preferred_element_type=jnp.float32)  # (E, nB)
+        em = wdot(emb_ref, oh, s_emb if w8 else None)   # (E, nB)
         return [em[:, k * b:(k + 1) * b] for k in range(len(rows))]
 
     def gates(pre, gh, h, width):
@@ -151,8 +171,8 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
 
     def recurrent_a(h_a):
         if gru_a_pattern is None:
-            return jnp.dot(wh_a_ref[:], h_a.astype(acc_dtype),
-                           preferred_element_type=jnp.float32)
+            return wdot(wh_a_ref, h_a.astype(acc_dtype),
+                        s_wha if w8 else None)
         # static block-sparse recurrent matmul: only the live
         # (rb, cb) blocks of W_h are computed (the pattern comes
         # from lpcnet.sparsify_gru_a-style training)
@@ -164,9 +184,14 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             for cb in cols:
                 w_blk = wh_a_ref[rb * rb_sz:(rb + 1) * rb_sz,
                                  cb * cb_sz:(cb + 1) * cb_sz]
+                if w8:
+                    w_blk = w_blk.astype(acc_dtype)
                 acc = acc + jnp.dot(
                     w_blk, h16[cb * cb_sz:(cb + 1) * cb_sz],
                     preferred_element_type=jnp.float32)
+            if w8:
+                # per-row scale applies AFTER the column-block sum
+                acc = acc * s_wha[rb * rb_sz:(rb + 1) * rb_sz]
             rows.append(acc)
         return jnp.concatenate(rows, axis=0)
 
@@ -202,18 +227,17 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
 
     def gru_chain(e_cat, h_a, h_b):
         """GRU_A -> GRU_B -> stacked head-1 pre-activations."""
-        pre_a = jnp.dot(wiemb_ref[:], e_cat,
-                        preferred_element_type=jnp.float32) + cond_a
+        pre_a = wdot(wiemb_ref, e_cat, s_wiemb if w8 else None) + cond_a
         gh_a = recurrent_a(h_a) + bh_a_ref[:]
         h_a = gates(pre_a, gh_a, h_a, ha)
-        pre_b = jnp.dot(wi_b_ref[:], h_a.astype(acc_dtype),
-                        preferred_element_type=jnp.float32) + cond_b
-        gh_b = jnp.dot(wh_b_ref[:], h_b.astype(acc_dtype),
-                       preferred_element_type=jnp.float32) + bh_b_ref[:]
+        pre_b = wdot(wi_b_ref, h_a.astype(acc_dtype),
+                     s_wib if w8 else None) + cond_b
+        gh_b = wdot(wh_b_ref, h_b.astype(acc_dtype),
+                    s_whb if w8 else None) + bh_b_ref[:]
         h_b = gates(pre_b, gh_b, h_b, hb)
         # merged dual FC: one (2*levels, Hb) matmul, split + tanh + add
-        fcpre = jnp.dot(fc1_ref[:], h_b.astype(acc_dtype),
-                        preferred_element_type=jnp.float32) + fc1b_ref[:]
+        fcpre = wdot(fc1_ref, h_b.astype(acc_dtype),
+                     s_fc1 if w8 else None) + fc1b_ref[:]
         return h_a, h_b, fcpre
 
     def step(t, carry):
@@ -255,8 +279,8 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             emb_x1.astype(acc_dtype),
             emb_p2.astype(acc_dtype),
         ], axis=0)                                            # (hb+2E, B)
-        fcpre2 = jnp.dot(fch_ref[:], h2in,
-                         preferred_element_type=jnp.float32) + fchb_ref[:]
+        fcpre2 = wdot(fch_ref, h2in,
+                      sfch if w8 else None) + fchb_ref[:]
         e2 = draw(fcpre2, u_ref[0, pl.ds(2 * t + 1, 1), :])
         x2 = pred2 + e2
         hist = jnp.concatenate([hist[1:], x2], axis=0)
@@ -291,10 +315,15 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
                     xp2.astype(acc_dtype), pp.astype(acc_dtype)],
                     axis=0)                         # (hb+3E, B)
                 r0 = (s - 1) * 2 * levels
+                w_h = fch_ref[r0:r0 + 2 * levels]
+                if w8:
+                    w_h = w_h.astype(acc_dtype)
                 fcpre = jnp.dot(
-                    fch_ref[r0:r0 + 2 * levels], h2in,
-                    preferred_element_type=jnp.float32
-                ) + fchb_ref[r0:r0 + 2 * levels]
+                    w_h, h2in,
+                    preferred_element_type=jnp.float32)
+                if w8:
+                    fcpre = fcpre * sfch[r0:r0 + 2 * levels]
+                fcpre = fcpre + fchb_ref[r0:r0 + 2 * levels]
             e_s = draw(fcpre, u_ref[0, pl.ds(4 * t + s, 1), :])
             x_s = pred + e_s
             hist = jnp.concatenate([hist[1:], x_s], axis=0)
@@ -336,6 +365,26 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         hist_s[:16] = hist
         hist_s[16:20] = e_hist
         hist_s[20:21] = prev_y
+
+
+def quantize_rows_int8(w):
+    """Symmetric per-output-row int8 quantisation of a (R, C) weight.
+
+    Returns (q int8 (R, C), scale f32 (R, 1)) with w ~= q * scale.
+    Rows are output channels, so each row's full dynamic range maps
+    onto [-127, 127] independently - the standard weight-only scheme
+    (the reference's own deployment practice is 8-bit LPCNet C
+    inference, reference README.md:36-40).  jit-safe (shape-static).
+    """
+    a = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+    s = jnp.where(a > 0, a, 1.0) / 127.0
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def dequantize_rows_int8(q, s):
+    """Exact float view of quantize_rows_int8 output (test oracle)."""
+    return q.astype(jnp.float32) * s
 
 
 def derive_block_pattern(wh, block=(128, 128)):
@@ -383,6 +432,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
                     deemphasis: float = 0.85,
                     dtype=jnp.bfloat16,
                     gru_a_pattern=None,
+                    weights_int8: bool = False,
                     interpret: bool = False) -> jax.Array:
     """Drop-in replacement for lpcnet.generate using the fused kernel.
 
@@ -402,6 +452,15 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     Accepts either lpcnet.LPCNetParams (bunch=1, one sample per
     recurrent step) or lpcnet_bunched.BunchedParams (bunch=2, one
     recurrent step per PAIR of samples - models/lpcnet_bunched.py).
+
+    weights_int8: store every sample-rate matmul weight (mu-law
+    embedding, GRU_A input+recurrent, GRU_B, dual FCs, bunched heads)
+    in VMEM as int8 with per-output-row f32 scales, dequantising
+    in-kernel at each use (the reference's deployed quantized
+    inference practice, reference README.md:36-40).  Halves the
+    persistent weight footprint; biases, conditioning and all
+    activations stay f32/bf16.  Composes with gru_a_pattern and all
+    bunch modes.
     """
     from fpsc_tpu.models.lpcnet import frame_net
 
@@ -475,8 +534,22 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
         (1, rows, b_pad), lambda f: (f, 0, 0), memory_space=pltpu.VMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    emb_t_op = emb.T.astype(dtype)
-    wiemb_op = wi_a[:, :n_emb * e_dim].astype(dtype)
+    scales = []
+    if weights_int8:
+        emb_t_op, s_emb = quantize_rows_int8(emb.T)
+        wiemb_op, s_wiemb = quantize_rows_int8(wi_a[:, :n_emb * e_dim])
+        wha_op, s_wha = quantize_rows_int8(params.gru_a.wh)
+        wib_op, s_wib = quantize_rows_int8(params.gru_b.wi[:, :ha])
+        whb_op, s_whb = quantize_rows_int8(params.gru_b.wh)
+        fcw_op, s_fcw = quantize_rows_int8(fc_w)
+        scales = [s_emb, s_wiemb, s_wha, s_wib, s_whb, s_fcw]
+    else:
+        emb_t_op = emb.T.astype(dtype)
+        wiemb_op = wi_a[:, :n_emb * e_dim].astype(dtype)
+        wha_op = params.gru_a.wh.astype(dtype)
+        wib_op = params.gru_b.wi[:, :ha].astype(dtype)
+        whb_op = params.gru_b.wh.astype(dtype)
+        fcw_op = fc_w.astype(dtype)
 
     if gru_a_pattern is not None:
         pattern, sparse_block = gru_a_pattern
@@ -486,7 +559,8 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     kernel = functools.partial(
         _kernel, ha=ha, hb=hb, levels=levels, deemph=deemphasis,
         u2l_base=u2l_base, acc_dtype=dtype,
-        gru_a_pattern=pattern, sparse_block=sparse_block, bunch=bunch)
+        gru_a_pattern=pattern, sparse_block=sparse_block, bunch=bunch,
+        w8=weights_int8)
 
     in_specs = [
         frame_spec(3 * ha),        # cond_a
@@ -502,11 +576,11 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
         cond_a_s.astype(dtype), cond_b_s.astype(dtype),
         lpc_rev, temps, uniforms,
         emb_t_op, wiemb_op,
-        params.gru_a.wh.astype(dtype),
+        wha_op,
         params.gru_a.bh[:, None],
-        params.gru_b.wi[:, :ha].astype(dtype),
-        params.gru_b.wh.astype(dtype), params.gru_b.bh[:, None],
-        fc_w.astype(dtype), fc_b,
+        wib_op,
+        whb_op, params.gru_b.bh[:, None],
+        fcw_op, fc_b,
         u2l_col,
     ]
     if bunched:
@@ -523,7 +597,15 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
                 bblocks += [head2.fc3.b[r], head2.fc4.b[r]]
             fch_w = jnp.concatenate(wblocks, axis=0)
             fch_b = jnp.concatenate(bblocks)
-        operands += [fch_w.astype(dtype), fch_b[:, None]]
+        if weights_int8:
+            fch_op, s_fch = quantize_rows_int8(fch_w)
+            scales.append(s_fch)
+        else:
+            fch_op = fch_w.astype(dtype)
+        operands += [fch_op, fch_b[:, None]]
+    if weights_int8:
+        in_specs += [vmem] * len(scales)
+        operands += scales
 
     out = pl.pallas_call(
         kernel,
