@@ -200,6 +200,16 @@ class _Walker:
                                                static_models)
         scl_rank = orders.get("scl")
         scl_bl_rank = orders.get("scl_bl")
+        # geometry guard (mirrors range_coder._UtteranceWalker): a
+        # rank table from the wrong codebook writes out of bounds in
+        # the C++ bucket tables — raise instead of segfaulting
+        for name, rank in (("scl", scl_rank), ("scl_bl", scl_bl_rank)):
+            n = int(sizes.get(name, 0) or 0)
+            if rank is not None and n and len(rank) != n:
+                raise ValueError(
+                    f"orders[{name!r}] has {len(rank)} ranks but the "
+                    f"{name} codebook has {n} entries — derive orders "
+                    "from the SAME (preset) books as sizes")
         sr = (None if scl_rank is None
               else np.ascontiguousarray(scl_rank, np.int32))
         sblr = (None if scl_bl_rank is None

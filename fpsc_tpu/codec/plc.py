@@ -23,7 +23,15 @@ Concealment policy (standard PLC practice, cf. LPCNet's PLC):
     good) and a long outage converges to a hold instead of letting
     the free-running GRU drift out of distribution (round-3
     measurement: undamped free-run at 25% frame loss landed ABOVE the
-    noise floor, LSD 3.27 vs freeze 1.99);
+    noise floor, LSD 3.27 vs freeze 1.99).  The DEFAULT damp=0.0 is
+    the HARD SWITCH: pure one-step prediction on the first lost
+    frame (exactly the predictor's training task), hold afterwards.
+    Measured (5-seed paired sweep, validate_plc round 4): the switch
+    dominates every soft blend — intermediate damps feed back frames
+    that are neither the model's own trajectory nor a hold, pushing
+    the GRU off-manifold (damp 0.0 / 0.5 / 0.85 / 1.0 at 17.8% iid
+    frame loss: 1.453 / 1.479 / 1.656 / 1.945 Bark-LSD; at 10%
+    bursts: 1.327 / 1.504 / 1.560 / 1.358);
   * ENERGY CAP: concealed c0 is clamped to min(c0, prev c0) — since
     prev during an outage is itself concealed, energy is monotone
     non-increasing from the last received frame (no synthesized
@@ -65,7 +73,7 @@ def conceal_decode(params: fp.FramePredictorParams,
                    fade_after: int = 3,
                    fade_step: float = 0.012,
                    freeze: bool = False,
-                   damp: float = 0.85,
+                   damp: float = 0.0,
                    energy_cap: bool = True) -> jax.Array:
     """Closed-loop decode with frame-erasure concealment.
 
@@ -93,7 +101,7 @@ def conceal_decode_residual(params: fp.FramePredictorParams,
                             lost: jax.Array, fade_after: int = 3,
                             fade_step: float = 0.012,
                             freeze: bool = False,
-                            damp: float = 0.85,
+                            damp: float = 0.0,
                             energy_cap: bool = True) -> jax.Array:
     """conceal_decode on pre-dequantised residuals (B, L, 18) — the
     entry FEC decoding uses, where each frame's residual may come from

@@ -345,6 +345,19 @@ class _Transcoder:
         orders = orders or {}
         self.scl_rank = orders.get("scl")
         self.scl_bl_rank = orders.get("scl_bl")
+        # a rank permutation from the WRONG codebook geometry (e.g.
+        # full-book orders applied to an ultra-preset coarse book)
+        # emits ranks past the bucket tables — corrupt streams in
+        # Python, out-of-bounds writes in the C++ backend.  Fail loud.
+        for name, rank in (("scl", self.scl_rank),
+                           ("scl_bl", self.scl_bl_rank)):
+            n = int(sizes.get(name, 0) or 0)
+            if rank is not None and n and len(rank) != n:
+                raise ValueError(
+                    f"orders[{name!r}] has {len(rank)} ranks but the "
+                    f"{name} codebook has {n} entries — derive orders "
+                    "from the SAME (preset) books as sizes "
+                    "(rc.scalar_orders(preset_codebooks(...)))")
         self.scl_inv = (None if self.scl_rank is None
                         else np.argsort(self.scl_rank))
         self.scl_bl_inv = (None if self.scl_bl_rank is None
@@ -692,7 +705,8 @@ def pack_packets_fec(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
                      fec_indices: Dict, fec_sizes: Dict,
                      packet_frames: int, static_models: Dict = None,
                      priors: Dict = None, fec_priors: Dict = None,
-                     orders: Dict = None, fec_mask=None) -> list:
+                     orders: Dict = None, fec_orders: Dict = None,
+                     fec_mask=None) -> list:
     """pack_packets with in-band redundancy (Opus-LBRR style).
 
     Packet i carries its primary span (full-preset streams) PLUS a
@@ -714,8 +728,14 @@ def pack_packets_fec(ind1, ind2, indices: Dict, pcodes, sizes: Dict,
     length = len(np.asarray(ind1))
     assert 1 <= packet_frames <= 255, packet_frames
     kw = (static_models, priors, orders)
+    # the redundancy stream may use its own codebook geometry (e.g.
+    # ultra-preset coarse scalars): its priors AND its value-rank
+    # orders must match ITS books, not the primary's — a full-book
+    # rank permutation applied to coarse-book codes emits ranks past
+    # the coarse bucket tables (caught by the size guard below)
     fkw = (static_models,
-           fec_priors if fec_priors is not None else priors, orders)
+           fec_priors if fec_priors is not None else priors,
+           fec_orders if fec_orders is not None else orders)
     out = []
     spans = [(s, min(s + packet_frames, length))
              for s in range(0, length, packet_frames)]
@@ -739,7 +759,8 @@ def unpack_packets_fec(payloads: list, sizes: Dict, fec_sizes: Dict,
                        packet_frames: int, total_frames: int = None,
                        static_models: Dict = None, priors: Dict = None,
                        fec_priors: Dict = None,
-                       orders: Dict = None) -> Dict:
+                       orders: Dict = None,
+                       fec_orders: Dict = None) -> Dict:
     """Inverse of pack_packets_fec over a lossy transport.
 
     Per span, in order of preference: the primary body (its own
@@ -752,7 +773,8 @@ def unpack_packets_fec(payloads: list, sizes: Dict, fec_sizes: Dict,
 
     kw = (static_models, priors, orders)
     fkw = (static_models,
-           fec_priors if fec_priors is not None else priors, orders)
+           fec_priors if fec_priors is not None else priors,
+           fec_orders if fec_orders is not None else orders)
     spans = []          # (n_frames, primary-body-or-None)
     pos = 0
     for i, p in enumerate(payloads):
@@ -806,7 +828,7 @@ def unpack_packets_fec(payloads: list, sizes: Dict, fec_sizes: Dict,
             nxt = payloads[i + 1]
             blen = int.from_bytes(nxt[2:4], "big")
             fill(_unpack_span(bytes(nxt[4 + blen:]), n, fec_sizes,
-                              fkw[0], fkw[1], orders),
+                              fkw[0], fkw[1], fkw[2]),
                  pos, n, "fec_indices")
             out["from_fec"][pos:pos + n] = True
         else:
@@ -832,14 +854,14 @@ class FecPacketReceiver:
     def __init__(self, sizes: Dict, fec_sizes: Dict,
                  packet_frames: int, static_models: Dict = None,
                  priors: Dict = None, fec_priors: Dict = None,
-                 orders: Dict = None):
+                 orders: Dict = None, fec_orders: Dict = None):
         self._sizes = sizes
         self._fec_sizes = fec_sizes
         self._pf = packet_frames
         self._kw = (static_models, priors, orders)
         self._fkw = (static_models,
                      fec_priors if fec_priors is not None else priors,
-                     orders)
+                     fec_orders if fec_orders is not None else orders)
         self._n_vq = max(len(sizes["vq"]), 1)
         self._n_vq_bl = max(len(sizes.get("vq_bl", [])), 1)
         self._prev = None

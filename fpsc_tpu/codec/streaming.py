@@ -364,7 +364,7 @@ def _conceal_decoder_step(params: fp.FramePredictorParams,
                           fade_step: float = 0.012,
                           freeze: bool = False,
                           fec_codebooks: fp.Codebooks = None,
-                          damp: float = 0.85,
+                          damp: float = 0.0,
                           energy_cap: bool = True):
     """Per-frame decode with erasure concealment (the streaming twin
     of codec/plc.conceal_decode — same policy, same arithmetic):
@@ -423,7 +423,7 @@ class StreamingReceiver:
                  seed: int = 0, batch: int = 1,
                  fade_after: int = 3, fade_step: float = 0.012,
                  fec_codebooks: fp.Codebooks = None,
-                 damp: float = 0.85, energy_cap: bool = True):
+                 damp: float = 0.0, energy_cap: bool = True):
         self.batch = batch
         self.key = jax.random.PRNGKey(seed)
         self._enc_params = enc_params
