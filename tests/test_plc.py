@@ -656,3 +656,60 @@ def test_dropped_final_short_packet_decodes_to_true_length(setup):
     assert len(frames) == n
     assert frames[-1]["lost"] and frames[-2]["lost"]
     assert not frames[-3]["lost"]
+
+
+def test_fec_roundtrip_with_coarse_redundancy_geometry(setup):
+    """Round-4 fix: the redundancy stream may use ultra-preset books
+    whose SCALAR geometry differs from the primary's (coarse scl /
+    scl_bl).  Its value-rank orders and priors must then be derived
+    from its own books and threaded via fec_orders/fec_priors —
+    full-book orders applied to coarse codes used to emit
+    out-of-range bucket symbols (a segfault in the C++ walker, now a
+    loud ValueError in both walkers)."""
+    import pytest as _pytest
+
+    from fpsc_tpu.codec.rate_control import PRESETS, preset_codebooks
+    from fpsc_tpu.train.generate_qtz_features import codebook_sizes
+
+    params, cbs, feat, enc = setup
+    sizes = codebook_sizes(cbs)
+    ultra = preset_codebooks(
+        cbs, vq_stages=1, vq_bl=False,
+        scl_entries=max(4, len(np.asarray(cbs.scl)) // 4),
+        scl_bl_entries=4)
+    rsizes = codebook_sizes(ultra)
+    assert rsizes["scl"] != sizes["scl"]      # geometry really differs
+    fec_all = plc.fec_requantize(ultra, enc["r"], enc["ind1"],
+                                 enc["ind2"])
+    i = 0
+    ind1, ind2, idx, pcodes = _streams(enc, feat, i)
+    fidx = {k: np.asarray(v)[i] for k, v in fec_all.items()}
+    porders = rc.scalar_orders(cbs)
+    forders = rc.scalar_orders(ultra)
+    pf = 6
+
+    # mismatched orders now fail loud instead of corrupting/segfaulting
+    with _pytest.raises(ValueError, match="ranks"):
+        rc.pack_packets_fec(ind1, ind2, idx, pcodes, sizes,
+                            fidx, rsizes, packet_frames=pf,
+                            orders=porders)
+
+    pkts = rc.pack_packets_fec(ind1, ind2, idx, pcodes, sizes,
+                               fidx, rsizes, packet_frames=pf,
+                               orders=porders, fec_orders=forders)
+    # isolated loss recovers index-for-index through the coarse books
+    lossy = list(pkts)
+    lossy[1] = None
+    got = rc.unpack_packets_fec(lossy, sizes, rsizes,
+                                packet_frames=pf, orders=porders,
+                                fec_orders=forders)
+    span = slice(pf, 2 * pf)
+    assert not got["lost"].any()
+    assert got["from_fec"][span].all()
+    np.testing.assert_array_equal(got["ind1"][span], ind1[span])
+    for k in ("scl", "vq"):
+        want = fidx[k][span]
+        live = want >= 0
+        np.testing.assert_array_equal(
+            np.asarray(got["fec_indices"][k])[span][live], want[live],
+            err_msg=k)
