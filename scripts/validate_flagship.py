@@ -9,7 +9,7 @@ block-sparsity ramp to 0.2 density - synthesising through the fused
 kernel's bunch=2 + static-block-sparse path (the bench.py headline
 configuration, quality-checked here on decoded features).
 
-    python scripts/validate_flagship.py [pred_epochs] [voc_epochs] [style] [noise] [noise_warmup_frac]
+    python scripts/validate_flagship.py [pred_epochs] [voc_epochs] [style] [noise] [noise_warmup_frac] [utterances]
 
 style defaults to "speech"; pass "speech_hard" for the multi-speaker +
 additive-noise stress regime (round-2 verdict item 10).
@@ -34,7 +34,7 @@ OUT = "/tmp/fpsc_flagship"
 
 def main(pred_epochs: int = 400, voc_epochs: int = 400,
          style: str = "speech", noise: int = 2,
-         noise_warmup: float = 0.0):
+         noise_warmup: float = 0.0, utterances: int = 96):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +44,7 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
     label = time.strftime("flag_%m%d_%H%M%S")
     data = [
         "data.synthetic=true", f"data.synthetic_style={style}",
-        "data.synthetic_utterances=96",
+        f"data.synthetic_utterances={utterances}",
         "data.chunks=6", "data.batch_size=16",
     ]
     overrides = data + [
@@ -157,4 +157,5 @@ if __name__ == "__main__":
          int(sys.argv[2]) if len(sys.argv) > 2 else 400,
          sys.argv[3] if len(sys.argv) > 3 else "speech",
          int(sys.argv[4]) if len(sys.argv) > 4 else 2,
-         float(sys.argv[5]) if len(sys.argv) > 5 else 0.0)
+         float(sys.argv[5]) if len(sys.argv) > 5 else 0.0,
+         int(sys.argv[6]) if len(sys.argv) > 6 else 96)
