@@ -259,7 +259,10 @@ def main():
 
     train = _train_throughput(jax, jnp)
 
-    best = max(res, key=lambda k: res[k]["rtf"])
+    # headline = best PRODUCTION-geometry path (the GRU_A-640 rows
+    # are the int8 capacity demo, a different model)
+    best = max((k for k in res if not k.startswith("dense640")),
+               key=lambda k: res[k]["rtf"])
     out = {
         "metric": "lpcnet_synthesis_aggregate_rtf",
         "value": res[best]["rtf"],

@@ -60,7 +60,8 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
     cfg = Config(label=label)
     apply_overrides(cfg, overrides)
 
-    print("=== 1. predictor (384/128, 96 utts) ===", flush=True)
+    print(f"=== 1. predictor (384/128, {utterances} utts) ===",
+          flush=True)
     t0 = time.time()
     _, min_loss = train_frame.run(cfg)
     print(f"{pred_epochs} epochs in {time.time()-t0:.0f}s, "
