@@ -47,7 +47,9 @@ def main(voc_epochs: int = 400, label=None, gru_a: int = 640):
     from fpsc_tpu.train import checkpoint as ckpt
     from fpsc_tpu.train import train_lpcnet
     from fpsc_tpu.train.train_frame import build_model
-    from scripts.validate_rate_control import newest_epoch, newest_label
+    from scripts.validate_rate_control import (codebook_path,
+                                                newest_epoch,
+                                                newest_label)
 
     label = label or newest_label(OUT, "flag_")
     epoch = newest_epoch(OUT, label)
@@ -94,7 +96,8 @@ def main(voc_epochs: int = 400, label=None, gru_a: int = 640):
     cfg = Config(label=label)
     apply_overrides(cfg, data + [
         "predictor.gru_units1=384", "predictor.gru_units2=128",
-        f"train.save_dir={OUT}", f"codec.codebook_path={OUT}/cb.npz",
+        f"train.save_dir={OUT}",
+        f"codec.codebook_path={codebook_path(OUT, label)}",
     ])
     params = build_model(cfg, jax.random.PRNGKey(cfg.train.seed))
     params = ckpt.restore_params(

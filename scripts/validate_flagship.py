@@ -81,6 +81,12 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
     print("=== 3. encode 16 utterances: bitrate + MSE ===", flush=True)
     out = generate_qtz_features.run(cfg_cb, max_utterances=16,
                                     out_dir=f"{OUT}/qtz")
+    # label-scoped codebook copy (AFTER generate_qtz_features, which
+    # stores the entropy priors inside the npz): a LATER flagship run
+    # overwrites the shared cb.npz, silently orphaning this run's
+    # predictor — downstream scripts resolve cb_<label>.npz first
+    import shutil
+    shutil.copyfile(f"{OUT}/cb.npz", f"{OUT}/cb_{label}.npz")
     priors = out["priors"]
     print(f"coded-feature MSE {out['mse']:.6f}; "
           f"fixed-layout bitrate {out['bitrate']:.0f} b/s; "

@@ -50,6 +50,7 @@ def main(label=None, epoch=None):
                                              pallas_generate)
     from fpsc_tpu.train import checkpoint as ckpt
     from fpsc_tpu.train.train_frame import build_model
+    from scripts.validate_rate_control import codebook_path
 
     if label is None:
         cands = [os.path.basename(d) for d in glob.glob(OUT + "/flag_*")
@@ -71,7 +72,7 @@ def main(label=None, epoch=None):
         "data.synthetic_utterances=96", "data.chunks=6",
         "predictor.gru_units1=384", "predictor.gru_units2=128",
         f"train.save_dir={OUT}",
-        f"codec.codebook_path={OUT}/cb.npz",
+        f"codec.codebook_path={codebook_path(OUT, label)}",
     ])
     params = build_model(cfg, jax.random.PRNGKey(cfg.train.seed))
     params = ckpt.restore_params(

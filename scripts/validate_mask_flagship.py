@@ -81,6 +81,10 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
           flush=True)
     out = generate_qtz_features.run(cfg_cb, max_utterances=16,
                                     out_dir=f"{OUT}/qtz")
+    # label-scoped codebook copy (priors already stored inside):
+    # protects this artifact set from a later run's cb.npz overwrite
+    import shutil
+    shutil.copyfile(f"{OUT}/cb.npz", f"{OUT}/cb_{label}.npz")
     priors = out["priors"]
     print(f"coded-feature MSE {out['mse']:.6f}; rates: "
           f"{out['bitrate']:.0f} fixed / {out['bitrate_rc']:.0f} rc / "

@@ -51,7 +51,9 @@ def main(label=None, epoch=None):
     from fpsc_tpu.train import checkpoint as ckpt
     from fpsc_tpu.train.generate_qtz_features import codebook_sizes
     from fpsc_tpu.train.train_frame import build_model
-    from scripts.validate_rate_control import newest_epoch, newest_label
+    from scripts.validate_rate_control import (codebook_path,
+                                                newest_epoch,
+                                                newest_label)
 
     label = label or newest_label(OUT, "flag_")
     epoch = epoch if epoch is not None else newest_epoch(OUT, label)
@@ -64,7 +66,7 @@ def main(label=None, epoch=None):
         "data.chunks=6", "data.batch_size=16",
         "predictor.gru_units1=384", "predictor.gru_units2=128",
         f"train.save_dir={OUT}",
-        f"codec.codebook_path={OUT}/cb.npz",
+        f"codec.codebook_path={codebook_path(OUT, label)}",
     ])
     params = build_model(cfg, jax.random.PRNGKey(cfg.train.seed))
     payload = ckpt.load(ckpt.checkpoint_path(OUT, label, epoch))

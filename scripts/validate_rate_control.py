@@ -66,6 +66,15 @@ def newest_epoch(out, label):
     return max(eps)
 
 
+def codebook_path(out, label):
+    """Label-scoped codebooks when present (validate_flagship copies
+    cb.npz -> cb_<label>.npz so a newer flagship run cannot silently
+    orphan an older artifact set), else the shared cb.npz."""
+    scoped = os.path.join(out, f"cb_{label}.npz")
+    return scoped if os.path.exists(scoped) else os.path.join(
+        out, "cb.npz")
+
+
 def main(mode="threshold", label=None, epoch=None):
     import jax
     import jax.numpy as jnp
@@ -94,7 +103,7 @@ def main(mode="threshold", label=None, epoch=None):
         "data.chunks=6", "data.batch_size=16",
         "predictor.gru_units1=384", "predictor.gru_units2=128",
         f"train.save_dir={out}",
-        f"codec.codebook_path={out}/cb.npz",
+        f"codec.codebook_path={codebook_path(out, label)}",
     ])
     params = build_model(cfg, jax.random.PRNGKey(cfg.train.seed))
     payload = ckpt.load(ckpt.checkpoint_path(out, label, epoch))
