@@ -2,8 +2,9 @@
 
 Coded-feature MSE (the BASELINE parity metric), log-spectral distance,
 and segmental SNR for vocoded audio.  (PESQ requires an external
-licensed implementation; LSD over the codec's own Bark bands is the
-in-framework proxy.)
+licensed implementation; the in-framework perceptual family is LSD
+over the codec's own Bark bands + STFT-LSD here, STOI in
+`eval/stoi.py`, and the ViSQOL-family NSIM in `eval/nsim.py`.)
 """
 from __future__ import annotations
 

@@ -129,9 +129,10 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
                                 vocoder_params=voc_params,
                                 priors=priors)
     from fpsc_tpu.data.dataset import build_dataset
+    from fpsc_tpu.eval.nsim import nsim
     from fpsc_tpu.eval.stoi import stoi
     ds = build_dataset(cfg_s.data, "val")
-    lsds, slsds, rates, stois = [], [], [], []
+    lsds, slsds, rates, stois, nsims = [], [], [], [], []
     for ns, batch in enumerate(ds.iter_batches(1, seed=0)):
         if ns >= len(results):
             break
@@ -140,6 +141,7 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
         lsds.append(log_spectral_distance(truth[:len(y)], y))
         slsds.append(stft_log_spectral_distance(truth[:len(y)], y))
         rates.append(results[ns]["bitrate"])
+        nsims.append(nsim(truth[:len(y)], y))
         try:
             stois.append(stoi(truth[:len(y)], y))
         except ValueError:      # fixture too short for 384 ms segments
@@ -150,6 +152,8 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
     slsd_n = stft_log_spectral_distance(truth, noise_sig)
     st_msg = (f"; STOI {np.mean(stois):.3f} "
               f"(noise {stoi(truth, noise_sig):.3f})" if stois else "")
+    st_msg += (f"; NSIM {np.mean(nsims):.3f} "
+               f"(noise {nsim(truth, noise_sig):.3f})")
     print(f"decoded-audio Bark-LSD {np.mean(lsds):.3f} "
           f"(noise {lsd_n:.3f}); STFT-LSD {np.mean(slsds):.2f} dB "
           f"(noise {slsd_n:.2f}); entropy-coded bitrate "
