@@ -127,8 +127,9 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
                                 vocoder_params=voc_params,
                                 priors=priors)
     from fpsc_tpu.data.dataset import build_dataset
+    from fpsc_tpu.eval.nsim import nsim
     ds = build_dataset(cfg_s.data, "val")
-    lsds, slsds, rates = [], [], []
+    lsds, slsds, rates, nsims = [], [], [], []
     for ns, batch in enumerate(ds.iter_batches(1, seed=0)):
         if ns >= len(results):
             break
@@ -137,14 +138,16 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
         lsds.append(log_spectral_distance(truth[:len(y)], y))
         slsds.append(stft_log_spectral_distance(truth[:len(y)], y))
         rates.append(results[ns]["bitrate"])
+        nsims.append(nsim(truth[:len(y)], y))
     noise = np.random.RandomState(0).randn(len(truth)).astype(
         np.float32) * truth.std()
     lsd_n = log_spectral_distance(truth, noise)
     slsd_n = stft_log_spectral_distance(truth, noise)
     print(f"MASK PATH: decoded-audio Bark-LSD {np.mean(lsds):.3f} "
           f"(noise {lsd_n:.3f}); STFT-LSD {np.mean(slsds):.2f} dB "
-          f"(noise {slsd_n:.2f}); held-out entropy-coded bitrate "
-          f"{np.mean(rates):.0f} b/s (with shared priors + "
+          f"(noise {slsd_n:.2f}); NSIM {np.mean(nsims):.3f} "
+          f"(noise {nsim(truth, noise):.3f}); held-out entropy-coded "
+          f"bitrate {np.mean(rates):.0f} b/s (with shared priors + "
           f"stage-conditioned models)", flush=True)
     assert np.mean(lsds) < 0.7 * lsd_n
     assert np.mean(rates) < 2000.0
