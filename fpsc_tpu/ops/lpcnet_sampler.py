@@ -149,11 +149,16 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         +1.8% dense, but -7% on the SPARSE unbunched path (the
         batched gather schedules worse against the block-sparse
         matmul sequence) - so only the bunch=2 step uses it."""
-        if b % 128:
+        if b != 128:
             # the (E, nB) -> n x (E, B) lane split below requires
             # 128-aligned column offsets (Mosaic: "offset mismatch on
             # non-concat dimension" otherwise) - small batches fall
-            # back to per-gather matmuls
+            # back to per-gather matmuls.  b > 128 also falls back:
+            # the n*b-lane concat crashes the Mosaic backend at
+            # b = 256 (remote compile helper exit 1, batch-scaling
+            # probe), and the trick's +3.8% was measured at exactly
+            # one lane tile - per-gather matmuls at b tiles keep the
+            # MXU fed anyway.
             return [emb_of(r) for r in rows]
         oh = jnp.concatenate(
             [(iota_lvl == r.astype(jnp.int32)).astype(acc_dtype)
@@ -286,7 +291,17 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         hist = jnp.concatenate([hist[1:], x2], axis=0)
         y1 = x1 + deemph * prev_y
         y2 = x2 + deemph * y1
-        out_ref[0, pl.ds(2 * t, 2), :] = jnp.concatenate([y1, y2], axis=0)
+        if b > 128:
+            # multi-row dynamic sublane stores at non-8-aligned
+            # offsets fail Mosaic's alignment prover once the batch
+            # spans >1 lane tile ("cannot statically prove that index
+            # in dimension 1 is a multiple of 8"); single-row stores
+            # compile at any offset, so wide batches store per row
+            out_ref[0, pl.ds(2 * t, 1), :] = y1
+            out_ref[0, pl.ds(2 * t + 1, 1), :] = y2
+        else:
+            out_ref[0, pl.ds(2 * t, 2), :] = jnp.concatenate(
+                [y1, y2], axis=0)
         return h_a, h_b, hist, e1, e2, y2
 
     def step4(t, carry):
@@ -331,7 +346,12 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             y_prev = y_s
             es.append(e_s)
             ys.append(y_s)
-        out_ref[0, pl.ds(4 * t, 4), :] = jnp.concatenate(ys, axis=0)
+        if b > 128:
+            # same >1-lane-tile store-alignment constraint as step2
+            for s in range(4):
+                out_ref[0, pl.ds(4 * t + s, 1), :] = ys[s]
+        else:
+            out_ref[0, pl.ds(4 * t, 4), :] = jnp.concatenate(ys, axis=0)
         return h_a, h_b, hist, jnp.concatenate(es, axis=0), y_prev
 
     if bunch == 1:

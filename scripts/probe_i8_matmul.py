@@ -36,7 +36,8 @@ def main(m=1152, k=384, b=128):
             y = jnp.dot(w_ref[:], acc,
                         preferred_element_type=jnp.float32)
             return y[:k].astype(jnp.bfloat16)
-        x = jax.lax.fori_loop(0, ITERS, body, x_ref[:])
+        x = jax.lax.fori_loop(0, ITERS, body,
+                              x_ref[:].astype(jnp.bfloat16))
         o_ref[:] = x.astype(jnp.float32)
 
     def i8_kernel(w_ref, x_ref, o_ref):

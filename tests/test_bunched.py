@@ -217,6 +217,43 @@ def test_pallas_bunch4_matches_xla_sampler():
     assert clean >= b - 2, f"only {clean}/{b} items flip-free"
 
 
+@pytest.mark.parametrize("mode", ["bunch2", "bunch4"])
+def test_pallas_bunched_wide_batch_matches_xla(mode):
+    """Batch > 128 lanes exercises a DIFFERENT kernel store path:
+    multi-row dynamic sublane stores at non-8-aligned offsets fail
+    Mosaic's alignment prover once the batch spans more than one
+    lane tile, so step2/step4 then store output rows individually
+    (and emb_many falls back to per-gather matmuls).  Same
+    statistical AR contract as the narrow-batch tests, at b=136."""
+    from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
+    if mode == "bunch2":
+        params = lb.init_bunched(jax.random.PRNGKey(0), CFG)
+        oracle = lb.generate
+    else:
+        params = lb.init_bunched4(jax.random.PRNGKey(0), CFG)
+        oracle = lb.generate4
+    rng = np.random.RandomState(44)
+    b, frames = 136, 1
+    feat = jnp.asarray((rng.randn(b, frames, 20) * 0.3).astype(np.float32))
+    periods = jnp.asarray(rng.randint(32, 256, (b, frames)).astype(np.int32))
+    lpc = jnp.asarray((rng.randn(b, frames, 16) * 0.05).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    want = np.asarray(oracle(params, feat, periods, lpc, key))
+    got = np.asarray(pallas_generate(
+        params, feat, periods, lpc, key, dtype=jnp.float32,
+        interpret=True))
+    assert got.shape == want.shape
+    clean = 0
+    for i in range(b):
+        diverged = np.argwhere(np.abs(got[i] - want[i]) > 1e-3).ravel()
+        if len(diverged) == 0:
+            clean += 1
+        else:
+            assert int(diverged[0]) > 0
+    # 160 steps per item: allow the same ~2% knife-edge flip rate
+    assert clean >= b - 6, f"only {clean}/{b} items flip-free"
+
+
 def test_bunch4_training_learns():
     import time
     from fpsc_tpu.config.config import Config, apply_overrides
