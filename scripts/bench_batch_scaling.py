@@ -10,8 +10,12 @@ saturates.
 
     python scripts/bench_batch_scaling.py [paths] [batches]
 
-paths: comma list from {dense,sparse,bunch2_sparse,bunch4,bunch4_int8}
-       (default bunch4,bunch2_sparse)
+paths: comma list from {dense,sparse,bunch2_sparse,bunch4,
+       bunch4_sparse,bunch4_int8} (default bunch4,bunch2_sparse).
+       bunch4_sparse matters at WIDE batch: the sparse kernel loses
+       to dense at b128 (latency-bound — skipping blocks doesn't
+       shorten the serial chain) but the wide-batch regime is
+       MXU-bound, where dropping 80% of the recurrent FLOPs pays.
 batches: comma list (default 32,64,128,256,512)
 
 Timing follows bench.py: CHAIN dispatches chained device-side per rep
@@ -62,10 +66,15 @@ def measure(batch: int, path: str):
                 jax.random.PRNGKey(0),
                 lpcnet.LPCNetConfig(gru_b_units=32)), 0.2, block=(64, 64))
         pattern = derive_block_pattern(params.base.gru_a.wh, (64, 64))
-    elif path in ("bunch4", "bunch4_int8"):
+    elif path in ("bunch4", "bunch4_sparse", "bunch4_int8"):
         params = lpcnet_bunched.init_bunched4(
             jax.random.PRNGKey(0), lpcnet.LPCNetConfig(gru_b_units=64))
         int8 = path.endswith("int8")
+        if path == "bunch4_sparse":
+            params = lpcnet_bunched.sparsify_gru_a4(params, 0.2,
+                                                    block=(64, 64))
+            pattern = derive_block_pattern(params.base.gru_a.wh,
+                                           (64, 64))
     else:
         raise SystemExit(f"unknown path {path}")
 

@@ -8,7 +8,12 @@ per-step cost is batch-independent, so the headroom number that
 matters for serving is FRAMES PER 10 ms TICK = how many 10 ms frames
 one chip sustains when N streams share each dispatched program.
 
-    python scripts/bench_streaming.py [n_frames]
+    python scripts/bench_streaming.py [n_frames] [batches]
+
+batches: comma list of concurrent-stream counts (default 1,8,32,128;
+the serving-capacity study late round 4 runs 256,512 — the per-frame
+programs are XLA scans with batch-columned matmuls, so stream count
+scales the same way the wide-batch sampler does).
 """
 import sys
 import time
@@ -34,7 +39,7 @@ def bench_stage(name, call, frames, batch):
     return dt
 
 
-def main(n_frames: int = 50):
+def main(n_frames: int = 50, batches=(1, 8, 32, 128)):
     import jax
 
     from fpsc_tpu.codec.streaming import (StreamingCodec,
@@ -56,7 +61,7 @@ def main(n_frames: int = 50):
     voc_params = lpcnet.init_lpcnet(jax.random.PRNGKey(1))
 
     results = {}
-    for batch in (1, 8, 32, 128):
+    for batch in batches:
         feat = (rng.randn(batch, n_frames, 20) * 0.3).astype(np.float32)
         enc = StreamingEncoder(fp_params, cbs, batch=batch)
         dt_e = bench_stage("StreamingEncoder",
@@ -215,4 +220,6 @@ def jnp_sort(a):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50,
+         tuple(int(b) for b in sys.argv[2].split(","))
+         if len(sys.argv) > 2 else (1, 8, 32, 128))
