@@ -283,6 +283,7 @@ def main(mode="threshold", label=None, epoch=None):
     from fpsc_tpu.dsp.ceps2lpc import ceps2lpc
     from fpsc_tpu.dsp.emphasis import deemphasis
     from fpsc_tpu.eval.metrics import log_spectral_distance
+    from fpsc_tpu.eval.nsim import nsim
     from fpsc_tpu.models import lpcnet, lpcnet_bunched
     from fpsc_tpu.ops.lpcnet_sampler import (auto_block_pattern,
                                              pallas_generate)
@@ -320,18 +321,22 @@ def main(mode="threshold", label=None, epoch=None):
             voc, jnp.asarray(coded), jnp.asarray(periods),
             jnp.asarray(lpc), jax.random.PRNGKey(7),
             corr=jnp.asarray(coded_un[..., 19]), gru_a_pattern=pat))
-        lsds = []
+        lsds, nsims = [], []
         for i in range(3):
             n = min(len(truth[i]), y.shape[1])
             lsds.append(log_spectral_distance(truth[i][:n], y[i, :n]))
+            nsims.append(nsim(truth[i][:n], y[i, :n]))
         lsd_rows.append((sel, bps, float(np.mean(lsds))))
         print(f"  {sel['preset']:7s} scale {sel['scale']:4.2f}  "
-              f"{bps:7.1f} b/s  Bark-LSD {np.mean(lsds):.3f}",
+              f"{bps:7.1f} b/s  Bark-LSD {np.mean(lsds):.3f}  "
+              f"NSIM {np.mean(nsims):.3f}",
               flush=True)
     noise_sig = np.random.RandomState(0).randn(
         len(truth[0])).astype(np.float32) * truth[0].std()
     lsd_n = log_spectral_distance(truth[0], noise_sig)
-    print(f"  (noise floor {lsd_n:.3f})", flush=True)
+    nsim_n = nsim(truth[0], noise_sig)
+    print(f"  (noise floor Bark-LSD {lsd_n:.3f}  NSIM {nsim_n:.3f})",
+          flush=True)
     # every preset must beat the noise floor decisively, and the
     # richest preset must be at least as good as the leanest
     for sel, bps, lsd in lsd_rows:
