@@ -217,30 +217,83 @@ def test_pallas_bunch4_matches_xla_sampler():
     assert clean >= b - 2, f"only {clean}/{b} items flip-free"
 
 
-@pytest.mark.parametrize("mode", ["bunch2", "bunch4"])
+def _deq_rows(w):
+    """int8 round-trip through the kernel's own weight quantiser."""
+    from fpsc_tpu.ops.lpcnet_sampler import (dequantize_rows_int8,
+                                             quantize_rows_int8)
+    return dequantize_rows_int8(*quantize_rows_int8(jnp.asarray(w)))
+
+
+def _dequantized_bunched(params, n_emb, e_dim):
+    """Bunched params with every kernel-quantised weight replaced by
+    its int8 round-trip (mirrors test_pallas_sampler's helper; the
+    host-side conditioning columns stay f32)."""
+    base = params.base
+    ha = base.gru_a.units
+    new_base = base._replace(
+        sample_emb=base.sample_emb._replace(
+            table=_deq_rows(base.sample_emb.table.T).T),
+        gru_a=base.gru_a._replace(
+            wi=jnp.concatenate(
+                [_deq_rows(base.gru_a.wi[:, :n_emb * e_dim]),
+                 base.gru_a.wi[:, n_emb * e_dim:]], axis=1),
+            wh=_deq_rows(base.gru_a.wh)),
+        gru_b=base.gru_b._replace(
+            wi=jnp.concatenate([_deq_rows(base.gru_b.wi[:, :ha]),
+                                base.gru_b.wi[:, ha:]], axis=1),
+            wh=_deq_rows(base.gru_b.wh)),
+        fc1=base.fc1._replace(w=_deq_rows(base.fc1.w)),
+        fc2=base.fc2._replace(w=_deq_rows(base.fc2.w)))
+    return params._replace(
+        base=new_base,
+        fc3=params.fc3._replace(w=_deq_rows(params.fc3.w)),
+        fc4=params.fc4._replace(w=_deq_rows(params.fc4.w)))
+
+
+@pytest.mark.parametrize(
+    "mode", ["bunch2", "bunch4", "bunch2_sparse", "bunch4_int8"])
 def test_pallas_bunched_wide_batch_matches_xla(mode):
     """Batch > 128 lanes exercises a DIFFERENT kernel store path:
     multi-row dynamic sublane stores at non-8-aligned offsets fail
     Mosaic's alignment prover once the batch spans more than one
     lane tile, so step2/step4 then store output rows individually
     (and emb_many falls back to per-gather matmuls).  Same
-    statistical AR contract as the narrow-batch tests, at b=136."""
-    from fpsc_tpu.ops.lpcnet_sampler import pallas_generate
-    if mode == "bunch2":
+    statistical AR contract as the narrow-batch tests, at b=136;
+    the sparse and int8 variants prove the wide store path composes
+    with the block-sparse pattern and in-kernel dequant."""
+    from fpsc_tpu.ops.lpcnet_sampler import (derive_block_pattern,
+                                             pallas_generate)
+    pattern, int8 = None, False
+    if mode.startswith("bunch2"):
         params = lb.init_bunched(jax.random.PRNGKey(0), CFG)
         oracle = lb.generate
     else:
         params = lb.init_bunched4(jax.random.PRNGKey(0), CFG)
         oracle = lb.generate4
+    if mode.endswith("sparse"):
+        params = lb.sparsify_gru_a(params, 0.5, block=(16, 16))
+        pattern = derive_block_pattern(params.base.gru_a.wh, (16, 16))
+    int8 = mode.endswith("int8")
     rng = np.random.RandomState(44)
     b, frames = 136, 1
     feat = jnp.asarray((rng.randn(b, frames, 20) * 0.3).astype(np.float32))
     periods = jnp.asarray(rng.randint(32, 256, (b, frames)).astype(np.int32))
     lpc = jnp.asarray((rng.randn(b, frames, 16) * 0.05).astype(np.float32))
     key = jax.random.PRNGKey(3)
-    want = np.asarray(oracle(params, feat, periods, lpc, key))
+    if int8:
+        # quantisation IS the model change: the reference is the
+        # float kernel on int8-round-tripped weights (same contract
+        # as test_pallas_sampler's narrow-batch int8 test), run at
+        # the same wide batch
+        want = np.asarray(pallas_generate(
+            _dequantized_bunched(params, n_emb=9, e_dim=CFG.embed_dim),
+            feat, periods, lpc, key, dtype=jnp.float32,
+            interpret=True))
+    else:
+        want = np.asarray(oracle(params, feat, periods, lpc, key))
     got = np.asarray(pallas_generate(
         params, feat, periods, lpc, key, dtype=jnp.float32,
+        gru_a_pattern=pattern, weights_int8=int8,
         interpret=True))
     assert got.shape == want.shape
     clean = 0
