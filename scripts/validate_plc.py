@@ -167,6 +167,7 @@ def main(label=None, epoch=None):
     from fpsc_tpu.dsp.ceps2lpc import ceps2lpc
     from fpsc_tpu.dsp.emphasis import deemphasis
     from fpsc_tpu.eval.metrics import log_spectral_distance
+    from fpsc_tpu.eval.nsim import nsim
     from fpsc_tpu.models import lpcnet, lpcnet_bunched
     from fpsc_tpu.ops.lpcnet_sampler import (auto_block_pattern,
                                              pallas_generate)
@@ -193,9 +194,13 @@ def main(label=None, epoch=None):
         a = jnp.asarray(a)
         return jnp.concatenate([a] * (k or n_seeds), axis=0)
 
-    def audio_lsd(coded, per_seed=False):
+    nsim_store = {}  # perceptual twin of each LSD row, keyed by arm
+
+    def audio_lsd(coded, per_seed=False, nsim_key=None):
         """coded (n_seeds*n_eval | n_eval, L, 20) -> mean LSD, or
-        (mean, std-over-seeds) when per_seed; one vocoder call."""
+        (mean, std-over-seeds) when per_seed; one vocoder call.
+        When nsim_key is given, the mean NSIM over the same decoded
+        audio lands in nsim_store[nsim_key]."""
         coded = np.asarray(coded)
         coded_un = coded * pitch_scale
         periods = (0.1 + 50.0 * coded_un[..., 18] + 100.0
@@ -207,11 +212,14 @@ def main(label=None, epoch=None):
             voc, jnp.asarray(coded), jnp.asarray(periods),
             jnp.asarray(lpc), jax.random.PRNGKey(7),
             corr=jnp.asarray(coded_un[..., 19]), gru_a_pattern=pat))
-        lsds = []
+        lsds, nsims = [], []
         for i in range(coded.shape[0]):
             t = truth[i % n_eval]
             n = min(len(t), y.shape[1])
             lsds.append(log_spectral_distance(t[:n], y[i, :n]))
+            nsims.append(nsim(t[:n], y[i, :n]))
+        if nsim_key is not None:
+            nsim_store[nsim_key] = float(np.mean(nsims))
         if not per_seed:
             return float(np.mean(lsds))
         # per-seed means: the SAME loss masks drive every arm, so
@@ -223,12 +231,15 @@ def main(label=None, epoch=None):
           f"({n_seeds} seeds x {n_eval} utts per condition) ===",
           flush=True)
     t0 = time.time()
-    lossless = audio_lsd(decode(params, codebooks, i1, i2, sub, pitch))
+    lossless = audio_lsd(decode(params, codebooks, i1, i2, sub, pitch),
+                         nsim_key="lossless")
     noise_sig = np.random.RandomState(0).randn(
         len(truth[0])).astype(np.float32) * truth[0].std()
     lsd_noise = log_spectral_distance(truth[0], noise_sig)
-    print(f"  lossless {lossless:.3f}; noise floor {lsd_noise:.3f}",
-          flush=True)
+    nsim_noise = nsim(truth[0], noise_sig)
+    print(f"  lossless {lossless:.3f} (NSIM "
+          f"{nsim_store['lossless']:.3f}); noise floor {lsd_noise:.3f}"
+          f" (NSIM {nsim_noise:.3f})", flush=True)
 
     pf = 5  # 50 ms packets
     n_pkts = (length + pf - 1) // pf
@@ -302,13 +313,18 @@ def main(label=None, epoch=None):
             fec_coded.append(np.asarray(plc.conceal_decode_residual(
                 params, r, (ptch / pitch_scale).astype(jnp.float32),
                 lst))[0])
-        res = {name: audio_lsd(c, per_seed=True)
+        res = {name: audio_lsd(c, per_seed=True,
+                               nsim_key=(tag, name))
                for name, c in arms.items()}
-        res["FEC"] = audio_lsd(np.stack(fec_coded), per_seed=True)
+        res["FEC"] = audio_lsd(np.stack(fec_coded), per_seed=True,
+                               nsim_key=(tag, "FEC"))
         rows.append((tag, float(mask.mean()), res))
         print(f"  {tag:9s} (frame rate {mask.mean():.1%}): "
               + "  ".join(f"{n} {p.mean():.3f}+/-{p.std():.3f}"
                           for n, p in res.items()), flush=True)
+        print(f"  {tag:9s} NSIM: "
+              + "  ".join(f"{n} {nsim_store[(tag, n)]:.3f}"
+                          for n in res), flush=True)
     print(f"(audio section {time.time()-t0:.0f}s)", flush=True)
 
     # contracts — what the mechanisms GUARANTEE, paired per-seed
