@@ -45,6 +45,7 @@ def main(label=None, epoch=None):
     from fpsc_tpu.dsp.emphasis import deemphasis
     from fpsc_tpu.eval.metrics import (log_spectral_distance,
                                        stft_log_spectral_distance)
+    from fpsc_tpu.eval.nsim import nsim
     from fpsc_tpu.models import lpcnet, lpcnet_bunched
     from fpsc_tpu.ops.lpcnet_sampler import (auto_block_pattern,
                                              pallas_generate)
@@ -112,24 +113,30 @@ def main(label=None, epoch=None):
             jnp.asarray(lpc), jax.random.PRNGKey(7),
             corr=jnp.asarray(coded_un[..., 19]), gru_a_pattern=pat,
             **kw))
-        lsds, slsds = [], []
+        lsds, slsds, nsims = [], [], []
         for i in range(4):
             n = min(len(truth[i]), y.shape[1])
             lsds.append(log_spectral_distance(truth[i][:n], y[i, :n]))
             slsds.append(stft_log_spectral_distance(truth[i][:n],
                                                     y[i, :n]))
-        rows[tag] = (float(np.mean(lsds)), float(np.mean(slsds)))
+            nsims.append(nsim(truth[i][:n], y[i, :n]))
+        rows[tag] = (float(np.mean(lsds)), float(np.mean(slsds)),
+                     float(np.mean(nsims)))
         print(f"{tag}: Bark-LSD {rows[tag][0]:.3f}, "
-              f"STFT-LSD {rows[tag][1]:.2f} dB "
+              f"STFT-LSD {rows[tag][1]:.2f} dB, "
+              f"NSIM {rows[tag][2]:.3f} "
               f"({time.time()-t0:.0f}s incl. compile)", flush=True)
 
     noise = np.random.RandomState(0).randn(
         len(truth[0])).astype(np.float32) * truth[0].std()
     lsd_noise = log_spectral_distance(truth[0], noise)
-    print(f"(noise floor {lsd_noise:.3f})", flush=True)
+    print(f"(noise floor {lsd_noise:.3f}, NSIM "
+          f"{nsim(truth[0], noise):.3f})", flush=True)
 
     d = rows["int8"][0] - rows["bf16"][0]
-    print(f"int8 - bf16 Bark-LSD delta: {d:+.3f}", flush=True)
+    dn = rows["int8"][2] - rows["bf16"][2]
+    print(f"int8 - bf16 Bark-LSD delta: {d:+.3f}  "
+          f"NSIM delta: {dn:+.3f}", flush=True)
     assert rows["int8"][0] < 0.7 * lsd_noise, rows
     assert abs(d) <= 0.05, (
         f"int8 quantisation costs too much quality: {d:+.3f}")
