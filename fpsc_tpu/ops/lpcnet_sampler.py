@@ -88,7 +88,7 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
             ha: int, hb: int, levels: int, deemph: float,
             u2l_base: float, acc_dtype, gru_a_pattern=None,
             sparse_block=(128, 128), bunch: int = 1,
-            w8: bool = False):
+            w8: bool = False, cdf_matmul: bool = False):
     if bunch in (2, 4):
         # sub-sample head dual FCs: bunch=2 -> stacked (2*levels,
         # hb + 2E); bunch=4 -> three per-position blocks stacked
@@ -107,6 +107,19 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         (s_emb, s_wiemb, s_wha, s_wib, s_whb, s_fc1), sfch = \
             refs[:6], (refs[6] if n_s == 7 else None)
         refs = refs[n_s:]
+    if cdf_matmul:
+        # lower-triangular ones, precomputed host-side (an in-kernel
+        # iota build costs ~3x the VMEM transiently and pushed b768
+        # over the compile cliff): the CDF prefix-sum becomes TRI @ p
+        # on the MXU, which sits idle during the serial sampling
+        # tail.  TRI is exact in bf16, so the f32 3-pass
+        # decomposition's products are exact (tri_lo = 0) and only
+        # the summation ORDER differs from the log-step scan - the
+        # same "modulo matmul precision" class the functional
+        # contract already allows.  Probe (scripts/probe_draw_tail.py
+        # at b768): roll-scan 1.36 us/draw net -> matmul 0.15 us.
+        tri_ref = refs[0]
+        refs = refs[1:]
     out_ref, h_a_s, h_b_s, hist_s = refs
     f = pl.program_id(0)
     b = h_a_s.shape[1]
@@ -216,11 +229,16 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         p = jnp.exp((logits * temp).astype(acc_dtype)).astype(jnp.float32)
         z = jnp.sum(p, axis=0, keepdims=True)
         pcut = jnp.maximum(p - 0.002 * z, 0.0)
-        cdf = pcut
-        k = 1
-        while k < levels:
-            cdf = cdf + jnp.where(iota_lvl >= k, pltpu.roll(cdf, k, 0), 0.0)
-            k *= 2
+        if cdf_matmul:
+            cdf = jnp.dot(tri_ref[:], pcut,
+                          preferred_element_type=jnp.float32)
+        else:
+            cdf = pcut
+            k = 1
+            while k < levels:
+                cdf = cdf + jnp.where(iota_lvl >= k,
+                                      pltpu.roll(cdf, k, 0), 0.0)
+                k *= 2
         # total = last prefix-sum row (NOT a separate reduction): keeps
         # the cdf < u*total decision scale-coherent with cdf, so both
         # samplers flip identically; also one fewer reduction per step.
@@ -453,6 +471,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
                     dtype=jnp.bfloat16,
                     gru_a_pattern=None,
                     weights_int8: bool = False,
+                    cdf_matmul: Optional[bool] = None,
                     interpret: bool = False) -> jax.Array:
     """Drop-in replacement for lpcnet.generate using the fused kernel.
 
@@ -481,6 +500,16 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     persistent weight footprint; biases, conditioning and all
     activations stay f32/bf16.  Composes with gru_a_pattern and all
     bunch modes.
+
+    cdf_matmul: compute the sampling CDF as a lower-triangular-ones
+    matmul on the MXU instead of the 8-pass log-step roll scan on the
+    VPU.  The MXU is idle during the serial sampling tail, so this is
+    nearly free where the VPU passes scale with batch; measured net
+    cumsum cost per draw at batch 768 drops 1.36 -> 0.15 us
+    (scripts/probe_draw_tail.py).  Only the summation order changes
+    (TRI is exact in bf16, so every product is exact).  Default None =
+    auto: on for wide batches (b > 128), off at narrow batch where
+    the roll scan measured faster (kernel header notes).
     """
     from fpsc_tpu.models.lpcnet import frame_net
 
@@ -576,11 +605,12 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     else:
         pattern, sparse_block = None, (128, 128)
 
+    use_cdf_mm = b > 128 if cdf_matmul is None else cdf_matmul
     kernel = functools.partial(
         _kernel, ha=ha, hb=hb, levels=levels, deemph=deemphasis,
         u2l_base=u2l_base, acc_dtype=dtype,
         gru_a_pattern=pattern, sparse_block=sparse_block, bunch=bunch,
-        w8=weights_int8)
+        w8=weights_int8, cdf_matmul=use_cdf_mm)
 
     in_specs = [
         frame_spec(3 * ha),        # cond_a
@@ -626,6 +656,10 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     if weights_int8:
         in_specs += [vmem] * len(scales)
         operands += scales
+    if use_cdf_mm:
+        in_specs += [vmem]
+        operands += [jnp.asarray(np.tril(
+            np.ones((levels, levels), np.float32)))]
 
     out = pl.pallas_call(
         kernel,
