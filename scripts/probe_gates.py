@@ -74,13 +74,24 @@ def main(b=768, iters=512):
             o_ref[:] = out
         return kernel
 
+    # Whole-batch buffers blow the 16 MB scoped-VMEM limit at b=768
+    # (f32 pre+gh+h+out+temps ~ 17.8 MB), so grid over the batch in
+    # 256-lane blocks; each block runs the full fori_loop, so total
+    # work is unchanged and us/gate-eval stays comparable.
+    bb = min(b, 256)
+    assert b % bb == 0
     for arm in ("none", "gates_f32", "gates_bf16"):
         try:
             f = jax.jit(lambda p, g, h, arm=arm: pl.pallas_call(
                 make(arm),
                 out_shape=jax.ShapeDtypeStruct((H, b), jnp.float32),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                grid=(b // bb,),
+                in_specs=[
+                    pl.BlockSpec((3 * H, bb), lambda i: (0, i)),
+                    pl.BlockSpec((3 * H, bb), lambda i: (0, i)),
+                    pl.BlockSpec((H, bb), lambda i: (0, i)),
+                ],
+                out_specs=pl.BlockSpec((H, bb), lambda i: (0, i)),
             )(p, g, h))
             float(jnp.sum(f(pre0, gh0, h0)))
         except Exception as e:
