@@ -39,8 +39,17 @@ TRAIN_REPS = 5
 
 
 def _stats(times):
-    return {"median_s": statistics.median(times),
-            "min_s": min(times), "max_s": max(times)}
+    """Median + spread with an explicit outlier policy (round-4 bench
+    carried one 21%-spread row, bunch4_int8, that no one could read):
+    reps slower than 1.5x the median are excluded from the SPREAD
+    (they are dispatch-environment events — allocator growth, host
+    contention — not kernel variance) but counted in `outliers` so a
+    noisy row is visible rather than silently smoothed.  The median
+    itself is robust and uses all reps."""
+    med = statistics.median(times)
+    kept = [t for t in times if t <= 1.5 * med]
+    return {"median_s": med, "min_s": min(kept), "max_s": max(kept),
+            "outliers": len(times) - len(kept)}
 
 
 def _sampler_flops_per_sample(cfg, bunch: int,
@@ -159,13 +168,16 @@ def main():
         fps = _sampler_flops_per_sample(
             mcfg, bunch, _live_fraction(pattern, wh))
         samples_per_s = rtf * C.SAMPLE_RATE
-        return {"rtf": round(rtf, 1),
-                "rtf_best": round(b * seconds / st["min_s"], 1),
-                "spread_pct": round(100 * (st["max_s"] - st["min_s"])
-                                    / st["median_s"], 1),
-                "samples_per_s": round(samples_per_s),
-                "mfu_pct": round(100 * samples_per_s * fps
-                                 / PEAK_FLOPS, 1)}
+        row = {"rtf": round(rtf, 1),
+               "rtf_best": round(b * seconds / st["min_s"], 1),
+               "spread_pct": round(100 * (st["max_s"] - st["min_s"])
+                                   / st["median_s"], 1),
+               "samples_per_s": round(samples_per_s),
+               "mfu_pct": round(100 * samples_per_s * fps
+                                / PEAK_FLOPS, 1)}
+        if st["outliers"]:
+            row["outliers"] = st["outliers"]
+        return row
 
     res = {}
     res["dense"] = measure(params)
@@ -291,12 +303,21 @@ def main():
     # are the int8 capacity demo, a different model)
     best = max((k for k in res if not k.startswith("dense640")),
                key=lambda k: res[k]["rtf"])
+    # the original BASELINE.md north star was defined at batch 128;
+    # the headline metric has since been redefined to aggregate
+    # throughput per chip (any batch), so ALSO emit the best b128
+    # row's ratio to keep the original comparison directly readable
+    # (ADVICE r4)
+    best128 = max((k for k in res if not k.startswith("dense640")
+                   and "_b" not in k), key=lambda k: res[k]["rtf"])
     out = {
         "metric": "lpcnet_synthesis_aggregate_rtf",
         "value": res[best]["rtf"],
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(res[best]["rtf"] / 500.0, 3),
+        "vs_baseline_b128": round(res[best128]["rtf"] / 500.0, 3),
         "best_path": best,
+        "best_path_b128": best128,
         "headline_batch": (int(best.rsplit("_b", 1)[1])
                            if "_b" in best else 128),
         "encode_rtf": round(rtf_enc, 1),

@@ -24,8 +24,11 @@ Consequences:
   consolidations: the (3H, 768) product table (round 1) and the
   (3E, 768) block-diagonal embedding (round 2: 12-13% slower at
   batch 128; the 3x MAC growth costs more than the saved op issues),
-* the sampling CDF is a log-step roll cumsum on the VPU; mu-law
-  decode is a masked diff-row reduction.
+* the sampling CDF is a log-step roll cumsum on the VPU at NARROW
+  batch (b <= 128); at wide batch the kernel switches to a
+  lower-triangular-ones matmul riding the otherwise-idle MXU
+  (`cdf_matmul`, default-on for b > 128 — see draw()); mu-law decode
+  is a masked diff-row reduction.
 
 Chain-shortening variants measured NEGATIVE on v5e at batch 128
 (dense baseline 1930-1950x the day of measurement; all were exact
@@ -222,10 +225,16 @@ def _kernel(cond_a_ref, cond_b_ref, lpc_ref, temp_ref, u_ref,
         # so the usual max-subtraction is skipped.  The 0.002 tail cut
         # acts on NORMALISED probs; scale it by Z instead of dividing:
         # max(p/Z - c, 0) has the same argcdf as max(p - c*Z, 0).
-        # Sampling runs on the VPU: log-step roll cumsum + sublane
-        # reductions measure ~7% faster than the triangular-matmul
-        # alternative (with transfer-free timing), and exp in acc_dtype
-        # shaves the (256, B) transcendental traffic.
+        # NARROW batch (b <= 128): sampling runs on the VPU — the
+        # log-step roll cumsum + sublane reductions measured ~7%
+        # faster than the triangular matmul there (transfer-free
+        # timing).  WIDE batch flips that verdict: the VPU passes
+        # scale with batch while the MXU sits idle during the
+        # sampling tail, so cdf_matmul (default-on for b > 128) does
+        # the prefix sum as TRI @ p — 1.36 -> 0.15 us/draw at b768
+        # (scripts/probe_draw_tail.py).  Both regimes are measured;
+        # neither branch should be removed on the other's numbers.
+        # exp in acc_dtype shaves the (256, B) transcendental traffic.
         p = jnp.exp((logits * temp).astype(acc_dtype)).astype(jnp.float32)
         z = jnp.sum(p, axis=0, keepdims=True)
         pcut = jnp.maximum(p - 0.002 * z, 0.0)

@@ -303,7 +303,13 @@ def test_pallas_bunched_wide_batch_matches_xla(mode):
             clean += 1
         else:
             assert int(diverged[0]) > 0
-    # 160 steps per item: allow the same ~2% knife-edge flip rate
+    # 160 steps per item.  Allowance is b-6 (~4.4% at b=136), looser
+    # than the narrow-batch tests' b-2 (~1.6%): the wide-batch path
+    # adds the cdf_matmul prefix sum, whose summation ORDER differs
+    # from the log-step roll scan, so knife-edge draws near CDF bucket
+    # boundaries flip slightly more often (both orders are exact-f32
+    # reorderings of the same products; divergence-at-step-0 is still
+    # asserted impossible below).
     assert clean >= b - 6, f"only {clean}/{b} items flip-free"
 
 
