@@ -27,6 +27,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -579,6 +580,179 @@ void rc_dec_push(void* h, const uint8_t* data, long long n, int final_) {
     w->dec_final = true;
     w->dec.strict = false;
   }
+}
+
+// ------------------------------------------------- batched tick API
+//
+// Serving at scale pays ~100 us of Python/ctypes/numpy overhead PER
+// STREAM per tick through the single-stream calls above (the library
+// work itself is ~5 us) — one host core capped at ~85 streams while
+// the chip sustains 512 per 3.15 ms tick (VALIDATION round 4).
+// These entry points transcode ONE frame for EVERY stream of a bank
+// in a single library call; streams are independent Walkers with
+// disjoint output slices, so the loop parallelises trivially —
+// n_threads > 1 splits the bank across std::threads (contiguous
+// chunks; spawn cost ~20 us/thread against a 10 ms deadline).  On a
+// single-core host (this dev machine) pass n_threads = 1: the win
+// there is amortising the per-call overhead, measured in
+// scripts/bench_streaming.py.
+
+static void enc_many_range(void** handles, int lo, int hi,
+                           const uint8_t* i1, const uint8_t* i2,
+                           const int32_t* iscl, const int32_t* iscl_bl,
+                           const int32_t* ivq, int ivq_stride,
+                           const int32_t* ivq_bl, int ivq_bl_stride,
+                           const int64_t* pc, uint8_t* out,
+                           int64_t out_stride, int32_t* out_lens) {
+  std::vector<int> vq_tmp, vq_bl_tmp;
+  for (int i = lo; i < hi; ++i) {
+    Walker* w = static_cast<Walker*>(handles[i]);
+    size_t before = w->enc.out.size();
+    int a = i1[i], b = i2[i], s = iscl[i], sbl = iscl_bl[i];
+    // step() may write back through the vq pointers in decode mode
+    // only, but take local copies anyway so the const contract of
+    // the batched encode API holds
+    vq_tmp.assign(ivq + (int64_t)i * ivq_stride,
+                  ivq + (int64_t)i * ivq_stride + ivq_stride);
+    vq_bl_tmp.assign(ivq_bl + (int64_t)i * ivq_bl_stride,
+                     ivq_bl + (int64_t)i * ivq_bl_stride
+                     + ivq_bl_stride);
+    int64_t p2[2] = {pc[2 * i], pc[2 * i + 1]};
+    w->step(&a, &b, &s, &sbl, vq_tmp.data(), vq_bl_tmp.data(), p2);
+    int64_t n = (int64_t)(w->enc.out.size() - before);
+    if (n > out_stride) {
+      out_lens[i] = (int32_t)-n;  // overflow: report needed bytes
+      continue;
+    }
+    std::memcpy(out + (int64_t)i * out_stride,
+                w->enc.out.data() + before, n);
+    out_lens[i] = (int32_t)n;
+  }
+}
+
+// One encode tick for n streams.  out is (n, out_stride); out_lens[i]
+// receives the chunk length (or -needed on overflow).  Returns the
+// number of overflowed streams (0 = all good).
+int rc_enc_push_many(void** handles, int n, const uint8_t* i1,
+                     const uint8_t* i2, const int32_t* iscl,
+                     const int32_t* iscl_bl, const int32_t* ivq,
+                     int ivq_stride, const int32_t* ivq_bl,
+                     int ivq_bl_stride, const int64_t* pc,
+                     uint8_t* out, int64_t out_stride,
+                     int32_t* out_lens, int n_threads) {
+  if (n_threads <= 1 || n < 2 * n_threads) {
+    enc_many_range(handles, 0, n, i1, i2, iscl, iscl_bl, ivq,
+                   ivq_stride, ivq_bl, ivq_bl_stride, pc, out,
+                   out_stride, out_lens);
+  } else {
+    std::vector<std::thread> ts;
+    int chunk = (n + n_threads - 1) / n_threads;
+    for (int k = 0; k < n_threads; ++k) {
+      int lo = k * chunk, hi = std::min(n, lo + chunk);
+      if (lo >= hi) break;
+      ts.emplace_back(enc_many_range, handles, lo, hi, i1, i2, iscl,
+                      iscl_bl, ivq, ivq_stride, ivq_bl, ivq_bl_stride,
+                      pc, out, out_stride, out_lens);
+    }
+    for (auto& t : ts) t.join();
+  }
+  int bad = 0;
+  for (int i = 0; i < n; ++i)
+    if (out_lens[i] < 0) ++bad;
+  return bad;
+}
+
+static void dec_many_range(void** handles, int lo, int hi,
+                           const uint8_t* bytes, const int64_t* offs,
+                           int64_t stride, const int32_t* lens,
+                           int final_, int32_t* i1, int32_t* i2,
+                           int32_t* iscl, int32_t* iscl_bl,
+                           int32_t* ivq, int ivq_stride,
+                           int32_t* ivq_bl, int ivq_bl_stride,
+                           int64_t* pc, int32_t* ok) {
+  for (int i = lo; i < hi; ++i) {
+    Walker* w = static_cast<Walker*>(handles[i]);
+    // push this stream's chunk (may be empty): either ragged
+    // (offs boundaries) or strided rows (stride + lens) — the
+    // encoder bank's output matrix feeds in directly in the latter
+    const uint8_t* chunk;
+    int64_t n_bytes;
+    if (offs) {
+      chunk = bytes + offs[i];
+      n_bytes = offs[i + 1] - offs[i];
+    } else {
+      chunk = bytes + (int64_t)i * stride;
+      n_bytes = lens[i];
+    }
+    w->dec_buf.insert(w->dec_buf.end(), chunk, chunk + n_bytes);
+    w->dec.data = &w->dec_buf;
+    if (final_) {
+      w->dec_final = true;
+      w->dec.strict = false;
+    }
+    // pull one frame (same rollback protocol as rc_dec_pull)
+    if (!w->dec_ready) {
+      if (w->dec_buf.size() < 4 && !w->dec_final) { ok[i] = 0; continue; }
+      w->dec.data = &w->dec_buf;
+      w->dec.strict = !w->dec_final;
+      w->dec.init();
+      w->dec_ready = true;
+    } else {
+      w->dec.strict = !w->dec_final;
+    }
+    i1[i] = 0; i2[i] = 0;
+    iscl[i] = -1; iscl_bl[i] = -1;
+    pc[2 * i] = 0; pc[2 * i + 1] = 0;
+    int32_t* vq_row = ivq + (int64_t)i * ivq_stride;
+    int32_t* vq_bl_row = ivq_bl + (int64_t)i * ivq_bl_stride;
+    for (int s = 0; s < ivq_stride; ++s) vq_row[s] = -1;
+    for (int s = 0; s < ivq_bl_stride; ++s) vq_bl_row[s] = -1;
+    w->snapshot();
+    try {
+      int a = 0, b = 0, s = -1, sbl = -1;
+      int64_t p2[2] = {0, 0};
+      w->step(&a, &b, &s, &sbl, vq_row, vq_bl_row, p2);
+      i1[i] = a; i2[i] = b; iscl[i] = s; iscl_bl[i] = sbl;
+      pc[2 * i] = p2[0]; pc[2 * i + 1] = p2[1];
+      ok[i] = 1;
+    } catch (const NeedBytes&) {
+      w->restore();
+      ok[i] = 0;
+    }
+    w->snapshotting = false;
+  }
+}
+
+// One receive tick for n streams: per-stream byte chunks arrive
+// either concatenated in `bytes` with n+1 `offs` boundaries (pass
+// stride = 0, lens = NULL), or as a strided (n, stride) matrix with
+// per-row `lens` (pass offs = NULL) — the layout the encoder bank
+// emits, so its output feeds the decoder with zero repacking.  One
+// frame is pulled per stream (ok[i] = 1 when decoded, 0 when more
+// bytes are needed — state rolled back, same as rc_dec_pull).
+void rc_dec_tick_many(void** handles, int n, const uint8_t* bytes,
+                      const int64_t* offs, int64_t stride,
+                      const int32_t* lens, int final_, int32_t* i1,
+                      int32_t* i2, int32_t* iscl, int32_t* iscl_bl,
+                      int32_t* ivq, int ivq_stride, int32_t* ivq_bl,
+                      int ivq_bl_stride, int64_t* pc, int32_t* ok,
+                      int n_threads) {
+  if (n_threads <= 1 || n < 2 * n_threads) {
+    dec_many_range(handles, 0, n, bytes, offs, stride, lens, final_,
+                   i1, i2, iscl, iscl_bl, ivq, ivq_stride, ivq_bl,
+                   ivq_bl_stride, pc, ok);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int chunk = (n + n_threads - 1) / n_threads;
+  for (int k = 0; k < n_threads; ++k) {
+    int lo = k * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back(dec_many_range, handles, lo, hi, bytes, offs,
+                    stride, lens, final_, i1, i2, iscl, iscl_bl, ivq,
+                    ivq_stride, ivq_bl, ivq_bl_stride, pc, ok);
+  }
+  for (auto& t : ts) t.join();
 }
 
 int rc_dec_pull(void* h, int* i1, int* i2, int* iscl, int* iscl_bl,

@@ -58,8 +58,8 @@ def _build_lib() -> str:
                 tmp = f"{lib}.build.{os.getpid()}"
                 try:
                     subprocess.run(
-                        ["g++", "-O2", "-Wall", "-fPIC", "-shared",
-                         "-o", tmp, src], check=True)
+                        ["g++", "-O2", "-Wall", "-fPIC", "-pthread",
+                         "-shared", "-o", tmp, src], check=True)
                     os.rename(tmp, lib)
                 finally:
                     if os.path.exists(tmp):
@@ -101,6 +101,17 @@ def load() -> ctypes.CDLL:
         lib.rc_dec_pull.argtypes = [
             ctypes.c_void_p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
             _i64p]
+        _vpp = ctypes.POINTER(ctypes.c_void_p)
+        lib.rc_enc_push_many.restype = ctypes.c_int
+        lib.rc_enc_push_many.argtypes = [
+            _vpp, ctypes.c_int, _u8p, _u8p, _i32p, _i32p, _i32p,
+            ctypes.c_int, _i32p, ctypes.c_int, _i64p, _u8p,
+            ctypes.c_longlong, _i32p, ctypes.c_int]
+        lib.rc_dec_tick_many.argtypes = [
+            _vpp, ctypes.c_int, _u8p, _i64p, ctypes.c_longlong,
+            _i32p, ctypes.c_int, _i32p, _i32p, _i32p, _i32p, _i32p,
+            ctypes.c_int, _i32p, ctypes.c_int, _i64p, _i32p,
+            ctypes.c_int]
         _LIB = lib
     return _LIB
 
@@ -397,6 +408,148 @@ class NativeStreamingRangeDecoder:
                             "vq": self._ivq.copy(),
                             "vq_bl": self._ivq_bl.copy()},
                 "pcodes": self._pc.copy()}
+
+
+class NativeRangeEncoderBank:
+    """N independent streaming range encoders driven by ONE library
+    call per 10 ms tick (cpp/range_coder.cpp rc_enc_push_many).
+
+    The per-stream classes above pay ~100 us of Python/ctypes/numpy
+    overhead per stream per tick (the C++ work is ~5 us), capping one
+    host core at ~85 streams against the chip's 512-stream tick
+    (VALIDATION round 4) — the bank amortises that overhead across
+    the whole batch.  Streams are byte-identical to N independent
+    StreamingRangeEncoders (pinned in tests/test_native_rc.py).
+
+    n_threads splits the bank across std::threads inside the call —
+    streams are independent walkers with disjoint outputs, so any
+    partition is exact; on this 1-core dev host it stays 1 (measured
+    neutral), on a multi-core serving host set it to the core count.
+    """
+
+    def __init__(self, n: int, sizes: Dict, priors: Dict = None,
+                 orders: Dict = None, static_models: Dict = None,
+                 n_threads: int = 1, chunk_cap: int = 256):
+        self._walkers = [_Walker(sizes, static_models, priors, orders,
+                                 decode=False) for _ in range(n)]
+        self.n = n
+        self.n_threads = n_threads
+        w0 = self._walkers[0]
+        self._n_vq = max(w0.n_vq, 1)
+        self._n_vq_bl = max(w0.n_vq_bl, 1)
+        self._handles = (ctypes.c_void_p * n)(
+            *[w._h for w in self._walkers])
+        self._cap = chunk_cap
+        self._out = np.zeros((n, chunk_cap), np.uint8)
+        self._lens = np.zeros(n, np.int32)
+        self._i1 = np.zeros(n, np.uint8)
+        self._i2 = np.zeros(n, np.uint8)
+        self._scl = np.zeros(n, np.int32)
+        self._scl_bl = np.zeros(n, np.int32)
+        self._vq = np.zeros((n, self._n_vq), np.int32)
+        self._vq_bl = np.zeros((n, self._n_vq_bl), np.int32)
+        self._pc = np.zeros((n, 2), np.int64)
+        self._fn = load().rc_enc_push_many
+
+    def push_frames(self, ind1, ind2, indices: Dict, pcodes):
+        """One tick: ind1/ind2 (n,) bools, indices arrays {scl (n,),
+        scl_bl (n,), vq (n, S), vq_bl (n, S')}, pcodes (n, 2) ->
+        (chunks (n, cap) uint8, lens (n,) int32).  Slice
+        chunks[i, :lens[i]] for stream i's wire bytes (the arrays are
+        reused across ticks — copy before the next tick if kept)."""
+        self._i1[:] = np.asarray(ind1, np.uint8)
+        self._i2[:] = np.asarray(ind2, np.uint8)
+        self._scl[:] = np.asarray(indices["scl"], np.int32)
+        self._scl_bl[:] = np.asarray(indices.get("scl_bl", -1),
+                                     np.int32)
+        self._vq[:] = np.asarray(indices["vq"], np.int32)
+        self._vq_bl[:] = np.asarray(indices.get(
+            "vq_bl", -np.ones((self.n, self._n_vq_bl))), np.int32)
+        self._pc[:] = np.asarray(pcodes, np.int64)
+        bad = self._fn(
+            self._handles, self.n,
+            self._i1.ctypes.data_as(_u8p),
+            self._i2.ctypes.data_as(_u8p),
+            _as_i32p(self._scl), _as_i32p(self._scl_bl),
+            _as_i32p(self._vq), self._n_vq,
+            _as_i32p(self._vq_bl), self._n_vq_bl,
+            self._pc.ctypes.data_as(_i64p),
+            self._out.ctypes.data_as(_u8p), self._cap,
+            _as_i32p(self._lens), self.n_threads)
+        if bad:
+            # one frame emits a handful of bytes; overflow past cap
+            # means corrupt coder state — unrecoverable mid-stream
+            raise RuntimeError(
+                f"{bad} streams overflowed the {self._cap}-byte frame "
+                "chunk: encoder state is no longer valid")
+        return self._out, self._lens
+
+
+class NativeRangeDecoderBank:
+    """Receive-side twin of NativeRangeEncoderBank: one library call
+    pushes each stream's newly-arrived bytes AND pulls one frame per
+    stream (rc_dec_tick_many; per-stream rollback when bytes run
+    short, exactly like StreamingRangeDecoder.pull_frame)."""
+
+    def __init__(self, n: int, sizes: Dict, priors: Dict = None,
+                 orders: Dict = None, static_models: Dict = None,
+                 n_threads: int = 1):
+        self._walkers = [_Walker(sizes, static_models, priors, orders,
+                                 decode=True) for _ in range(n)]
+        self.n = n
+        self.n_threads = n_threads
+        w0 = self._walkers[0]
+        self._n_vq = max(w0.n_vq, 1)
+        self._n_vq_bl = max(w0.n_vq_bl, 1)
+        self._handles = (ctypes.c_void_p * n)(
+            *[w._h for w in self._walkers])
+        self._i1 = np.zeros(n, np.int32)
+        self._i2 = np.zeros(n, np.int32)
+        self._scl = np.zeros(n, np.int32)
+        self._scl_bl = np.zeros(n, np.int32)
+        self._vq = np.zeros((n, self._n_vq), np.int32)
+        self._vq_bl = np.zeros((n, self._n_vq_bl), np.int32)
+        self._pc = np.zeros((n, 2), np.int64)
+        self._ok = np.zeros(n, np.int32)
+        self._offs = np.zeros(n + 1, np.int64)
+        self._fn = load().rc_dec_tick_many
+
+    def tick(self, chunks, lens=None, final: bool = False):
+        """chunks: (n, cap) uint8 + lens (n,) — exactly what
+        NativeRangeEncoderBank.push_frames returned (fed to C++ as
+        strided rows, zero repacking) — or a list of n per-stream
+        bytes objects.  Returns (ok (n,) int32 view, dict of
+        index-array views); views are reused across ticks."""
+        if lens is None:
+            ragged = np.asarray([len(c) for c in chunks], np.int64)
+            flat = (np.frombuffer(b"".join(chunks), np.uint8)
+                    if int(ragged.sum()) else np.zeros(1, np.uint8))
+            np.cumsum(ragged, out=self._offs[1:])
+            self._offs[0] = 0
+            bytes_p = flat.ctypes.data_as(_u8p)
+            offs_p, stride, lens_p = (
+                self._offs.ctypes.data_as(_i64p), 0, None)
+        else:
+            lens32 = np.ascontiguousarray(lens, np.int32)
+            chunks = np.ascontiguousarray(chunks, np.uint8)
+            bytes_p = chunks.ctypes.data_as(_u8p)
+            offs_p, stride, lens_p = (None, chunks.shape[1],
+                                      _as_i32p(lens32))
+        self._fn(
+            self._handles, self.n, bytes_p, offs_p, stride, lens_p,
+            1 if final else 0,
+            _as_i32p(self._i1), _as_i32p(self._i2),
+            _as_i32p(self._scl), _as_i32p(self._scl_bl),
+            _as_i32p(self._vq), self._n_vq,
+            _as_i32p(self._vq_bl), self._n_vq_bl,
+            self._pc.ctypes.data_as(_i64p), _as_i32p(self._ok),
+            self.n_threads)
+        return self._ok, {"ind1": self._i1, "ind2": self._i2,
+                          "indices": {"scl": self._scl,
+                                      "scl_bl": self._scl_bl,
+                                      "vq": self._vq,
+                                      "vq_bl": self._vq_bl},
+                          "pcodes": self._pc}
 
 
 # Drop-in aliases so `native_rc.best()` is interchangeable with the

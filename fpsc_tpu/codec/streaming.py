@@ -505,6 +505,72 @@ class StreamingReceiver:
         return res
 
 
+class StreamingTransmitter:
+    """Encoder-only serving tick: raw microphone PCM in, transmitted
+    symbols out, ONE compiled program and ONE device round trip per
+    10 ms tick, batched over independent streams.
+
+    The transmit side of a deployment (mic -> analysis frontend ->
+    closed-loop predictor encode -> symbol rows; the entropy layer
+    rides the host CPU next to it, codec/native_rc.py) previously ran
+    as the per-stage StreamingFrontend + StreamingEncoder chain — two
+    dispatch round trips per tick where the receiver (`Streaming
+    Receiver`) and duplex (`StreamingCodec`) ticks pay one.  This
+    class fuses the same two pure steps (_frontend_step +
+    _encoder_step — shared code, so parity with the per-stage chain
+    is exact by construction and pinned in tests/test_streaming.py).
+
+    The frontend's one-block lookahead applies: the tick that
+    receives PCM block k emits frame k-1's symbols; tick 0's output
+    is an analysis-warmup frame — callers discard it.  Matches the
+    reference's encode path (src/generate_qtz_features.py:49-72) run
+    as a serving loop."""
+
+    def __init__(self, enc_params: fp.FramePredictorParams,
+                 codebooks: fp.Codebooks, l1: float = 0.09,
+                 l2: float = 0.28, batch: int = 1,
+                 preemph: float = 0.85):
+        self.batch = batch
+        self._enc_params = enc_params
+        self._n_vq = len(codebooks.vq)
+        self._n_vq_bl = (len(codebooks.vq_bl)
+                         if codebooks.vq_bl is not None else 1)
+        self.reset()
+        front = _frontend_step(preemph)
+        enc = _encoder_step(enc_params, codebooks, l1, l2)
+
+        def tick(front_state, enc_state, pcm_rows):
+            front_state, feat_rows = front(front_state, pcm_rows)
+            enc_state, packed = enc(enc_state, feat_rows)
+            return front_state, enc_state, packed
+
+        self._tick = jax.jit(tick)
+
+    def reset(self):
+        b, ep = self.batch, self._enc_params
+        from fpsc_tpu.dsp.frontend import PITCH_MAX
+        self.front_state = (
+            jnp.zeros((b, PITCH_MAX + C.WINDOW_SIZE)),
+            jnp.zeros((b,)))
+        self.enc_state = (jnp.zeros((b, ep.rnn1.units)),
+                          jnp.zeros((b, ep.rnn2.units)),
+                          jnp.zeros((b, fp.NB_CEPS)))
+
+    def process_pcm(self, pcm_rows: np.ndarray) -> Dict:
+        """RAW 10 ms PCM block (160,)/(batch, 160) -> frame k-1's
+        symbol dict {'coded', 'ind1', 'ind2', 'indices'} (tick 0 is
+        warmup — discard)."""
+        squeeze = np.ndim(pcm_rows) == 1
+        self.front_state, self.enc_state, packed = self._tick(
+            self.front_state, self.enc_state,
+            _rows(pcm_rows, self.batch, C.FRAME_SIZE))
+        p = np.asarray(packed)                 # single host transfer
+        out, _ = _split_symbols(p, self._n_vq, self._n_vq_bl)
+        if squeeze and self.batch == 1:
+            out = jax.tree_util.tree_map(lambda a: a[0], out)
+        return out
+
+
 class StreamingCodec:
     """Fused full-duplex tick: encode -> decode -> synthesize in ONE
     compiled program and ONE device round trip.

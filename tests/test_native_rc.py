@@ -215,3 +215,118 @@ def test_native_faster_than_python():
     t_nat = min(run(native_rc) for _ in range(3))
     t_py = run(rc)
     assert t_py / t_nat > 5, (t_py, t_nat)
+
+
+def test_bank_matches_independent_streams():
+    """NativeRangeEncoderBank / NativeRangeDecoderBank (ONE library
+    call per tick for all streams) must be byte-identical to N
+    independent per-stream encoders and round-trip every symbol,
+    including the byte-starvation rollback path (the bank pulls at
+    most one frame per stream per tick, so a starved stream lags one
+    tick and catches up)."""
+    rng = np.random.RandomState(17)
+    sizes = {"scl": 256, "scl_bl": 16, "vq": [1024, 1024],
+             "vq_bl": [512]}
+    N, L = 7, 60
+    streams = [_random_stream(np.random.RandomState(100 + i), sizes, L)
+               for i in range(N)]
+    orders = {"scl": rng.permutation(256), "scl_bl": rng.permutation(16)}
+    pri = rc.collect_priors([streams[0]], sizes, orders=orders)
+
+    bank = native_rc.NativeRangeEncoderBank(N, sizes, priors=pri,
+                                            orders=orders)
+    singles = [native_rc.NativeStreamingRangeEncoder(
+        sizes, priors=pri, orders=orders) for _ in range(N)]
+    dbank = native_rc.NativeRangeDecoderBank(N, sizes, priors=pri,
+                                             orders=orders)
+    decoded = [[] for _ in range(N)]
+
+    def collect(ok, frames):
+        # past final=True the non-strict decoder fabricates frames
+        # beyond the true stream end (same as StreamingRangeDecoder —
+        # callers know the frame count), so stop collecting at L
+        for i in range(N):
+            if ok[i] and len(decoded[i]) < L:
+                decoded[i].append({
+                    "ind1": bool(frames["ind1"][i]),
+                    "ind2": bool(frames["ind2"][i]),
+                    "scl": int(frames["indices"]["scl"][i]),
+                    "scl_bl": int(frames["indices"]["scl_bl"][i]),
+                    "vq": frames["indices"]["vq"][i].copy(),
+                    "vq_bl": frames["indices"]["vq_bl"][i].copy(),
+                    "pcodes": frames["pcodes"][i].copy()})
+
+    for t in range(L):
+        i1 = np.asarray([s[0][t] for s in streams])
+        i2 = np.asarray([s[1][t] for s in streams])
+        idx = {"scl": np.asarray([s[2]["scl"][t] for s in streams]),
+               "scl_bl": np.asarray([s[2]["scl_bl"][t]
+                                     for s in streams]),
+               "vq": np.stack([s[2]["vq"][t] for s in streams]),
+               "vq_bl": np.stack([s[2]["vq_bl"][t] for s in streams])}
+        pc = np.stack([s[3][t] for s in streams])
+        chunks, lens = bank.push_frames(i1, i2, idx, pc)
+        for i in range(N):
+            row = {"scl": idx["scl"][i], "scl_bl": idx["scl_bl"][i],
+                   "vq": idx["vq"][i], "vq_bl": idx["vq_bl"][i]}
+            want = singles[i].push_frame(i1[i], i2[i], row, pc[i])
+            got = bytes(chunks[i, :lens[i]].tobytes())
+            assert got == want, f"stream {i} frame {t}: bytes differ"
+        ok, frames = dbank.tick(chunks, lens)
+        collect(ok, frames)
+
+    # flush: per-stream finish bytes through the list-of-bytes API
+    tails = [singles[i].finish() for i in range(N)]
+    ok, frames = dbank.tick(tails, final=True)
+    collect(ok, frames)
+    empty = [b""] * N
+    for _ in range(8):
+        if all(len(d) >= L for d in decoded):
+            break
+        ok, frames = dbank.tick(empty, final=True)
+        collect(ok, frames)
+
+    for i, (ind1, ind2, idx, pcodes) in enumerate(streams):
+        assert len(decoded[i]) == L, f"stream {i}: {len(decoded[i])}/{L}"
+        for t in range(L):
+            d = decoded[i][t]
+            assert d["ind1"] == bool(ind1[t])
+            assert d["ind2"] == bool(ind2[t])
+            if ind1[t]:
+                assert d["scl"] == idx["scl"][t]
+            else:
+                assert d["scl_bl"] == idx["scl_bl"][t]
+            if ind2[t]:
+                np.testing.assert_array_equal(d["vq"], idx["vq"][t])
+            else:
+                np.testing.assert_array_equal(d["vq_bl"],
+                                              idx["vq_bl"][t])
+            np.testing.assert_array_equal(d["pcodes"], pcodes[t])
+
+
+def test_bank_threaded_matches_single_threaded():
+    """n_threads is a pure partition of independent streams: the
+    threaded bank must produce byte-identical chunks to n_threads=1
+    (this dev host has one core, so this checks correctness, not
+    speed — the speed row lives in scripts/bench_streaming.py)."""
+    sizes = {"scl": 16, "scl_bl": 4, "vq": [64], "vq_bl": [48]}
+    N, L = 9, 25
+    streams = [_random_stream(np.random.RandomState(200 + i), sizes, L)
+               for i in range(N)]
+    b1 = native_rc.NativeRangeEncoderBank(N, sizes, n_threads=1)
+    b4 = native_rc.NativeRangeEncoderBank(N, sizes, n_threads=4)
+    for t in range(L):
+        i1 = np.asarray([s[0][t] for s in streams])
+        i2 = np.asarray([s[1][t] for s in streams])
+        idx = {"scl": np.asarray([s[2]["scl"][t] for s in streams]),
+               "scl_bl": np.asarray([s[2]["scl_bl"][t]
+                                     for s in streams]),
+               "vq": np.stack([s[2]["vq"][t] for s in streams]),
+               "vq_bl": np.stack([s[2]["vq_bl"][t] for s in streams])}
+        pc = np.stack([s[3][t] for s in streams])
+        c1, l1 = bank_copy = b1.push_frames(i1, i2, idx, pc)
+        c1, l1 = c1.copy(), l1.copy()
+        c4, l4 = b4.push_frames(i1, i2, idx, pc)
+        np.testing.assert_array_equal(l1, l4)
+        for i in range(N):
+            np.testing.assert_array_equal(c1[i, :l1[i]], c4[i, :l4[i]])

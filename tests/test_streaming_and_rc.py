@@ -500,3 +500,59 @@ def test_streaming_codec_pcm_matches_frontend_plus_chain(setup):
                                       ref["indices"]["vq"])
         np.testing.assert_allclose(got["coded"], ref["coded"],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_transmitter_matches_frontend_plus_encoder(setup):
+    """StreamingTransmitter — the encoder-only single dispatch (mic
+    PCM -> symbols, ROADMAP r4 #5) — must equal the per-stage
+    StreamingFrontend + StreamingEncoder chain tick-for-tick."""
+    from fpsc_tpu.codec.streaming import (StreamingEncoder,
+                                          StreamingFrontend,
+                                          StreamingTransmitter)
+    from fpsc_tpu.data.synthetic import speech_like_waveform
+    from fpsc_tpu.dsp import constants as C
+    params, cbs, _ = setup
+
+    x = np.asarray(speech_like_waveform(
+        np.random.RandomState(9), 16000))[:2400].astype(np.float32)
+
+    tx = StreamingTransmitter(params, cbs)
+    sf = StreamingFrontend()
+    enc = StreamingEncoder(params, cbs)
+    for k in range(len(x) // C.FRAME_SIZE):
+        block = x[k * C.FRAME_SIZE:(k + 1) * C.FRAME_SIZE]
+        got = tx.process_pcm(block)
+        ref = enc.encode_frame(sf.process_block(block))
+        assert bool(got["ind1"]) == bool(ref["ind1"])
+        assert bool(got["ind2"]) == bool(ref["ind2"])
+        for key in ("scl", "scl_bl", "vq", "vq_bl"):
+            np.testing.assert_array_equal(got["indices"][key],
+                                          ref["indices"][key])
+        np.testing.assert_allclose(got["coded"], ref["coded"],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_transmitter_batched(setup):
+    """Batched transmitter streams are independent: stream i of a
+    batch-3 transmitter equals a batch-1 transmitter fed stream i."""
+    from fpsc_tpu.codec.streaming import StreamingTransmitter
+    from fpsc_tpu.data.synthetic import speech_like_waveform
+    from fpsc_tpu.dsp import constants as C
+    params, cbs, _ = setup
+
+    b, frames = 3, 8
+    x = np.stack([np.asarray(speech_like_waveform(
+        np.random.RandomState(20 + i), frames * C.FRAME_SIZE))
+        for i in range(b)]).astype(np.float32)
+
+    txb = StreamingTransmitter(params, cbs, batch=b)
+    singles = [StreamingTransmitter(params, cbs) for _ in range(b)]
+    for k in range(frames):
+        blocks = x[:, k * C.FRAME_SIZE:(k + 1) * C.FRAME_SIZE]
+        got = txb.process_pcm(blocks)
+        for i in range(b):
+            ref = singles[i].process_pcm(blocks[i])
+            np.testing.assert_allclose(got["coded"][i], ref["coded"],
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_array_equal(got["indices"]["vq"][i],
+                                          ref["indices"]["vq"])
