@@ -473,53 +473,53 @@ def auto_block_pattern(params, block=(64, 64), max_live: float = 0.9):
     return (pattern, blk) if live < max_live * total else None
 
 
-def pallas_generate(params, feat: jax.Array, periods: jax.Array,
-                    lpc: jax.Array, key: jax.Array,
-                    corr: Optional[jax.Array] = None,
-                    deemphasis: float = 0.85,
-                    dtype=jnp.bfloat16,
-                    gru_a_pattern=None,
-                    weights_int8: bool = False,
-                    cdf_matmul: Optional[bool] = None,
-                    interpret: bool = False) -> jax.Array:
-    """Drop-in replacement for lpcnet.generate using the fused kernel.
+class _SamplerMeta:
+    """Static (compile-time) configuration of one prepared sampler
+    call: everything pallas_sample needs to rebuild the kernel and
+    its BlockSpecs.  Hashable on its field tuple so a jitted
+    pallas_sample closure re-traces only when the static config
+    actually changes."""
 
-    feat (B, L, 20), periods (B, L) int, lpc (B, L, 16) -> (B, L*160).
+    __slots__ = ("ha", "hb", "levels", "b", "b_pad", "length",
+                 "bunch", "pattern", "sparse_block", "w8",
+                 "use_cdf_mm", "deemphasis", "u2l_base", "dtype",
+                 "bunched")
 
-    gru_a_pattern: optional (pattern, (rb, cb)) from
-    derive_block_pattern(params.gru_a.wh) - the static live-block map
-    of GRU_A's recurrent matrix (produced by lpcnet.sparsify_gru_a
-    training); the kernel then skips the dead blocks' MXU work.  Must
-    be derived OUTSIDE jit (it inspects concrete weights) and passed
-    in; it is a static compile-time argument.
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
 
-    corr semantics match lpcnet.generate: RAW-scale pitch correlation;
-    the default un-normalises feat[..., 19] by MAXI (feat is expected
-    MAXI-normalised per the vocoder training convention).
+    def _key(self):
+        return tuple(getattr(self, k) for k in self.__slots__)
 
-    Accepts either lpcnet.LPCNetParams (bunch=1, one sample per
-    recurrent step) or lpcnet_bunched.BunchedParams (bunch=2, one
-    recurrent step per PAIR of samples - models/lpcnet_bunched.py).
+    def __hash__(self):
+        return hash(self._key())
 
-    weights_int8: store every sample-rate matmul weight (mu-law
-    embedding, GRU_A input+recurrent, GRU_B, dual FCs, bunched heads)
-    in VMEM as int8 with per-output-row f32 scales, dequantising
-    in-kernel at each use (the reference's deployed quantized
-    inference practice, reference README.md:36-40).  Halves the
-    persistent weight footprint; biases, conditioning and all
-    activations stay f32/bf16.  Composes with gru_a_pattern and all
-    bunch modes.
+    def __eq__(self, other):
+        return (isinstance(other, _SamplerMeta)
+                and self._key() == other._key())
 
-    cdf_matmul: compute the sampling CDF as a lower-triangular-ones
-    matmul on the MXU instead of the 8-pass log-step roll scan on the
-    VPU.  The MXU is idle during the serial sampling tail, so this is
-    nearly free where the VPU passes scale with batch; measured net
-    cumsum cost per draw at batch 768 drops 1.36 -> 0.15 us
-    (scripts/probe_draw_tail.py).  Only the summation order changes
-    (TRI is exact in bf16, so every product is exact).  Default None =
-    auto: on for wide batches (b > 128), off at narrow batch where
-    the roll scan measured faster (kernel header notes).
-    """
+
+def pallas_prepare(params, feat: jax.Array, periods: jax.Array,
+                   lpc: jax.Array, key: jax.Array,
+                   corr: Optional[jax.Array] = None,
+                   deemphasis: float = 0.85,
+                   dtype=jnp.bfloat16,
+                   gru_a_pattern=None,
+                   weights_int8: bool = False,
+                   cdf_matmul: Optional[bool] = None):
+    """Frame-rate PROLOGUE of the fused sampler, as its own program:
+    the conditioning network (frame_net + the folded GRU input
+    matmuls), uniform draws, weight casting/quantisation and the
+    feature-major transposes.  Returns (operands, meta) for
+    pallas_sample.
+
+    Split out (round 5) so serving code can dispatch batch k+1's
+    conditioning while batch k's sampling kernel is in flight, and so
+    the prologue/kernel cost split is measurable
+    (scripts/probe_overlap.py).  pallas_generate(a, ...) ==
+    pallas_sample(*pallas_prepare(a, ...)) exactly — same operands,
+    same kernel."""
     from fpsc_tpu.models.lpcnet import frame_net
 
     bunched = hasattr(params, "base")      # BunchedParams / Bunched4
@@ -588,10 +588,6 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     fc_w = jnp.concatenate([params.fc1.w, params.fc2.w], axis=0)
     fc_b = jnp.concatenate([params.fc1.b, params.fc2.b])[:, None]
 
-    frame_spec = lambda rows: pl.BlockSpec(
-        (1, rows, b_pad), lambda f: (f, 0, 0), memory_space=pltpu.VMEM)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-
     scales = []
     if weights_int8:
         emb_t_op, s_emb = quantize_rows_int8(emb.T)
@@ -615,22 +611,7 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
         pattern, sparse_block = None, (128, 128)
 
     use_cdf_mm = b > 128 if cdf_matmul is None else cdf_matmul
-    kernel = functools.partial(
-        _kernel, ha=ha, hb=hb, levels=levels, deemph=deemphasis,
-        u2l_base=u2l_base, acc_dtype=dtype,
-        gru_a_pattern=pattern, sparse_block=sparse_block, bunch=bunch,
-        w8=weights_int8, cdf_matmul=use_cdf_mm)
 
-    in_specs = [
-        frame_spec(3 * ha),        # cond_a
-        frame_spec(3 * hb),        # cond_b
-        frame_spec(16),            # lpc
-        frame_spec(1),             # temp
-        frame_spec(C.FRAME_SIZE),  # uniforms
-        vmem, vmem, vmem, vmem,    # emb_t wi_emb wh_a bh_a
-        vmem, vmem, vmem,          # wi_b wh_b bh_b
-        vmem, vmem, vmem,          # fc_w fc_b u2l
-    ]
     operands = [
         cond_a_s.astype(dtype), cond_b_s.astype(dtype),
         lpc_rev, temps, uniforms,
@@ -643,7 +624,6 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
         u2l_col,
     ]
     if bunched:
-        in_specs += [vmem, vmem]
         if bunch == 2:
             fch_w = jnp.concatenate([head2.fc3.w, head2.fc4.w], axis=0)
             fch_b = jnp.concatenate([head2.fc3.b, head2.fc4.b])
@@ -663,12 +643,47 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
             fch_op = fch_w.astype(dtype)
         operands += [fch_op, fch_b[:, None]]
     if weights_int8:
-        in_specs += [vmem] * len(scales)
         operands += scales
     if use_cdf_mm:
-        in_specs += [vmem]
         operands += [jnp.asarray(np.tril(
             np.ones((levels, levels), np.float32)))]
+
+    meta = _SamplerMeta(
+        ha=ha, hb=hb, levels=levels, b=b, b_pad=b_pad, length=length,
+        bunch=bunch, pattern=pattern, sparse_block=sparse_block,
+        w8=weights_int8, use_cdf_mm=use_cdf_mm, deemphasis=deemphasis,
+        u2l_base=u2l_base, dtype=dtype, bunched=bunched)
+    return operands, meta
+
+
+def pallas_sample(operands, meta: _SamplerMeta,
+                  interpret: bool = False) -> jax.Array:
+    """KERNEL half of the fused sampler: runs the pallas_call on
+    operands produced by pallas_prepare.  (B, L*160) output, exactly
+    pallas_generate's."""
+    b, b_pad, length = meta.b, meta.b_pad, meta.length
+    kernel = functools.partial(
+        _kernel, ha=meta.ha, hb=meta.hb, levels=meta.levels,
+        deemph=meta.deemphasis, u2l_base=meta.u2l_base,
+        acc_dtype=meta.dtype, gru_a_pattern=meta.pattern,
+        sparse_block=meta.sparse_block, bunch=meta.bunch,
+        w8=meta.w8, cdf_matmul=meta.use_cdf_mm)
+
+    frame_spec = lambda rows: pl.BlockSpec(
+        (1, rows, b_pad), lambda f: (f, 0, 0), memory_space=pltpu.VMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        frame_spec(3 * meta.ha),   # cond_a
+        frame_spec(3 * meta.hb),   # cond_b
+        frame_spec(16),            # lpc
+        frame_spec(1),             # temp
+        frame_spec(C.FRAME_SIZE),  # uniforms
+        vmem, vmem, vmem, vmem,    # emb_t wi_emb wh_a bh_a
+        vmem, vmem, vmem,          # wi_b wh_b bh_b
+        vmem, vmem, vmem,          # fc_w fc_b u2l
+    ]
+    # bunched heads / int8 scales / cdf TRI: all plain VMEM operands
+    in_specs += [vmem] * (len(operands) - len(in_specs))
 
     out = pl.pallas_call(
         kernel,
@@ -678,8 +693,8 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
         out_shape=jax.ShapeDtypeStruct(
             (length, C.FRAME_SIZE, b_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((ha, b_pad), jnp.float32),
-            pltpu.VMEM((max(hb, 8), b_pad), jnp.float32),
+            pltpu.VMEM((meta.ha, b_pad), jnp.float32),
+            pltpu.VMEM((max(meta.hb, 8), b_pad), jnp.float32),
             pltpu.VMEM((24, b_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -689,3 +704,58 @@ def pallas_generate(params, feat: jax.Array, periods: jax.Array,
     # (L, 160, B) -> (B, T)
     y = out[:, :, :b].reshape(length * C.FRAME_SIZE, b)
     return jnp.transpose(y, (1, 0))
+
+
+def pallas_generate(params, feat: jax.Array, periods: jax.Array,
+                    lpc: jax.Array, key: jax.Array,
+                    corr: Optional[jax.Array] = None,
+                    deemphasis: float = 0.85,
+                    dtype=jnp.bfloat16,
+                    gru_a_pattern=None,
+                    weights_int8: bool = False,
+                    cdf_matmul: Optional[bool] = None,
+                    interpret: bool = False) -> jax.Array:
+    """Drop-in replacement for lpcnet.generate using the fused kernel.
+
+    feat (B, L, 20), periods (B, L) int, lpc (B, L, 16) -> (B, L*160).
+
+    gru_a_pattern: optional (pattern, (rb, cb)) from
+    derive_block_pattern(params.gru_a.wh) - the static live-block map
+    of GRU_A's recurrent matrix (produced by lpcnet.sparsify_gru_a
+    training); the kernel then skips the dead blocks' MXU work.  Must
+    be derived OUTSIDE jit (it inspects concrete weights) and passed
+    in; it is a static compile-time argument.
+
+    corr semantics match lpcnet.generate: RAW-scale pitch correlation;
+    the default un-normalises feat[..., 19] by MAXI (feat is expected
+    MAXI-normalised per the vocoder training convention).
+
+    Accepts either lpcnet.LPCNetParams (bunch=1, one sample per
+    recurrent step) or lpcnet_bunched.BunchedParams (bunch=2, one
+    recurrent step per PAIR of samples - models/lpcnet_bunched.py).
+
+    weights_int8: store every sample-rate matmul weight (mu-law
+    embedding, GRU_A input+recurrent, GRU_B, dual FCs, bunched heads)
+    in VMEM as int8 with per-output-row f32 scales, dequantising
+    in-kernel at each use (the reference's deployed quantized
+    inference practice, reference README.md:36-40).  Halves the
+    persistent weight footprint; biases, conditioning and all
+    activations stay f32/bf16.  Composes with gru_a_pattern and all
+    bunch modes.
+
+    cdf_matmul: compute the sampling CDF as a lower-triangular-ones
+    matmul on the MXU instead of the 8-pass log-step roll scan on the
+    VPU.  The MXU is idle during the serial sampling tail, so this is
+    nearly free where the VPU passes scale with batch; measured net
+    cumsum cost per draw at batch 768 drops 1.36 -> 0.15 us
+    (scripts/probe_draw_tail.py).  Only the summation order changes
+    (TRI is exact in bf16, so every product is exact).  Default None =
+    auto: on for wide batches (b > 128), off at narrow batch where
+    the roll scan measured faster (kernel header notes).
+    """
+    ops, meta = pallas_prepare(
+        params, feat, periods, lpc, key, corr=corr,
+        deemphasis=deemphasis, dtype=dtype,
+        gru_a_pattern=gru_a_pattern, weights_int8=weights_int8,
+        cdf_matmul=cdf_matmul)
+    return pallas_sample(ops, meta, interpret=interpret)
