@@ -10,15 +10,15 @@ the conditioning/sampling overlap question.
 
 (b) OVERLAP: the frame-rate prologue (conditioning net + uniforms +
     feature-major transposes) runs serially before the sampling
-    kernel inside one XLA program.  pallas_prepare/pallas_sample
-    (ops/lpcnet_sampler.py round-5 split) lets us measure the
-    prologue and kernel as separate programs and try a host-side
-    software pipeline: dispatch batch k+1's prepare right after batch
-    k's sample.  On a single TensorCore two programs cannot overlap —
-    the pipeline row vs the serial row IS the mechanism check; the
-    prologue-fraction row bounds the best possible win.
+    kernel inside one XLA program.  pallas_prepare (ops/lpcnet_sampler
+    round-5 split) makes the prologue timeable as its own program; the
+    prologue-fraction row bounds the best possible overlap win, and
+    the interleave row (prologue program of stream 2 dispatched
+    between fused rounds of stream 1) measures whether two programs
+    overlap AT ALL on the one TensorCore.  (pallas_sample as its own
+    program does not compile at b768 — see the in-code note.)
 
-    python scripts/probe_overlap.py
+    python scripts/probe_overlap.py [all|wide|split]
 """
 import statistics
 import sys
@@ -32,7 +32,7 @@ REPS = 7
 CHAIN = 4
 
 
-def main():
+def main(mode: str = "all"):
     import jax
     import jax.numpy as jnp
 
@@ -89,11 +89,12 @@ def main():
           f"{b * seconds / t_fused:8.1f}x", flush=True)
 
     # ---- (a) chained multi-dispatch wide serving ---------------------
-    for n_disp, ins in ((2, [(feat, periods, lpc),
-                             (feat2, periods2, lpc2)]),
-                        (3, [(feat, periods, lpc),
-                             (feat2, periods2, lpc2),
-                             (feat3, periods3, lpc3)])):
+    wide_cases = ((2, [(feat, periods, lpc),
+                       (feat2, periods2, lpc2)]),
+                  (3, [(feat, periods, lpc),
+                       (feat2, periods2, lpc2),
+                       (feat3, periods3, lpc3)]))
+    for n_disp, ins in wide_cases if mode in ("all", "wide") else ():
         def multi(i, ins=ins, n=n_disp):
             acc = None
             for j in range(CHAIN):
@@ -112,13 +113,21 @@ def main():
               f"{100 * (t / n_disp - t_fused) / t_fused:+.1f}%)",
               flush=True)
 
-    # ---- (b) prologue/kernel split ----------------------------------
-    prep = jax.jit(lambda p, f, pe, l, k: pallas_prepare(
-        p, f, pe, l, k)[0])
-    _, meta = pallas_prepare(params, feat, periods, lpc,
-                             jax.random.PRNGKey(0))
-    samp = jax.jit(lambda ops: jnp.sum(pallas_sample(ops, meta)))
-
+    # ---- (b) overlap mechanism check --------------------------------
+    if mode not in ("all", "split"):
+        return
+    # NOTE: running pallas_sample as its OWN program (operands as
+    # program parameters) fails the Mosaic/XLA compile at b768 — the
+    # (100, 160, 768) kernel output gets scoped to VMEM stack
+    # ("allocating on stack ... S(1) ... exceeded scoped vmem limit"),
+    # even behind an optimization_barrier; in the fused program the
+    # same kernel compiles with the output in HBM.  So the split
+    # prep->sample pipeline is not even constructible at this batch.
+    # The mechanism question — can two programs overlap on the one
+    # TensorCore? — is answerable with programs that DO compile:
+    # interleave the prologue-only program and the full fused program
+    # on INDEPENDENT inputs.  If total == prologue + fused, programs
+    # execute strictly serially and there is no overlap to win.
     prep_sum = jax.jit(lambda p, f, pe, l, k: sum(
         jnp.sum(o.astype(jnp.float32))
         for o in pallas_prepare(p, f, pe, l, k)[0][:5]))
@@ -135,40 +144,27 @@ def main():
           f"{100 * t_prep / t_fused:.1f}% (upper bound on any "
           f"overlap win)", flush=True)
 
-    def split_serial(i):
+    def interleaved(i):
+        # prologue(k) on stream 2 dispatched between fused(k) rounds
+        # on stream 1: overlap would shave up to t_prep off the total
         acc = None
         for j in range(CHAIN):
-            ops = prep(params, feat, periods, lpc,
-                       jax.random.PRNGKey(i * CHAIN + j))
-            s = samp(ops)
+            s = gen(params, feat, periods, lpc,
+                    jax.random.PRNGKey(i * CHAIN + j))
+            s2 = prep_sum(params, feat2, periods2, lpc2,
+                          jax.random.PRNGKey(1000 + i * CHAIN + j))
+            s = s + s2
             acc = s if acc is None else acc + s
         float(acc)
 
-    t_serial = timeit(split_serial, "split serial prep->sample",
-                      per=CHAIN)
-
-    def split_pipelined(i):
-        # software pipeline: batch j+1's prepare is dispatched while
-        # batch j's sample is (nominally) in flight
-        ops = prep(params, feat, periods, lpc,
-                   jax.random.PRNGKey(i * CHAIN))
-        acc = None
-        for j in range(CHAIN):
-            nxt = (prep(params, feat2, periods2, lpc2,
-                        jax.random.PRNGKey(i * CHAIN + j + 1))
-                   if j + 1 < CHAIN else None)
-            s = samp(ops)
-            acc = s if acc is None else acc + s
-            ops = nxt
-        float(acc)
-
-    t_pipe = timeit(split_pipelined, "split pipelined prep(k+1)||sample(k)",
-                    per=CHAIN)
-    print(f"  fused {t_fused * 1e3:.2f} ms | split serial "
-          f"{t_serial * 1e3:.2f} | split pipelined {t_pipe * 1e3:.2f} "
-          f"(pipelining saves "
-          f"{100 * (t_serial - t_pipe) / t_serial:+.1f}%)", flush=True)
+    t_mix = timeit(interleaved, "fused + prologue interleaved",
+                   per=CHAIN)
+    overlap = (t_fused + t_prep - t_mix) / t_prep
+    print(f"  fused {t_fused * 1e3:.2f} + prologue {t_prep * 1e3:.2f} "
+          f"= {1e3 * (t_fused + t_prep):.2f} ms serial prediction; "
+          f"measured {t_mix * 1e3:.2f} ms -> "
+          f"{100 * overlap:.0f}% of the prologue overlapped", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "all")
