@@ -180,8 +180,67 @@ def noisy_streams(x: jax.Array, lpc: jax.Array, key: jax.Array,
     return x_n, x_n - pred_t, pred_t, x - pred_t
 
 
+def _chunked_nll(params: LPCNetParams, feat, periods, x, exc, pred,
+                 exc_tgt, n_seg: int) -> jax.Array:
+    """Teacher-forced CE computed as a rematerialised scan over
+    `n_seg` time segments (GRU states thread between segments, so the
+    recurrence — and the loss — is exactly forward()'s; pinned in
+    tests/test_lpcnet.py).
+
+    Why: the one-shot forward materialises (B, T, 3H) input
+    pre-activations and (B, T, 256) logits for the whole utterance —
+    at the flagship T = 14400 the pre-activation buffer crosses the
+    XLA 2 GiB single-buffer boundary between batch 32 (2.12 GB,
+    compiles) and batch 64 (4.25 GB, hard compile failure via the
+    remote helper) — measured in scripts/bench_train_scaling.py.
+    Chunking bounds every buffer to T/n_seg and jax.checkpoint
+    rematerialises each segment in the backward pass, trading one
+    extra forward for n_seg x less residual memory: the wide-batch
+    training regime (VERDICT r4 next #2) becomes compilable."""
+    b, t = x.shape
+    assert t % n_seg == 0, (t, n_seg)
+    ts = t // n_seg
+    assert ts % C.FRAME_SIZE == 0, (ts, C.FRAME_SIZE)
+    cond = frame_net(params, feat, periods)
+    cond_up = jnp.repeat(cond, C.FRAME_SIZE, axis=1)
+    target = l2u_index(exc_tgt * 32768.0)
+    # previous-sample streams roll ACROSS segment boundaries here,
+    # exactly like the unchunked path
+    prev_x = jnp.roll(x, 1, axis=-1).at[:, 0].set(0.0)
+    prev_e = jnp.roll(exc, 1, axis=-1).at[:, 0].set(0.0)
+
+    def segs(a):
+        return jnp.swapaxes(
+            a.reshape(b, n_seg, ts, *a.shape[2:]), 0, 1)
+
+    @jax.checkpoint
+    def seg_fn(carry, seg_in):
+        h_a, h_b = carry
+        pxs, pes, prs, conds, tgts = seg_in
+        e_x = embedding(params.sample_emb, l2u_index(pxs * 32768.0))
+        e_e = embedding(params.sample_emb, l2u_index(pes * 32768.0))
+        e_p = embedding(params.sample_emb, l2u_index(prs * 32768.0))
+        inp = jnp.concatenate([e_x, e_e, e_p, conds], axis=-1)
+        ya, h_a = gru_scan(params.gru_a, inp, h0=h_a)
+        yb, h_b = gru_scan(params.gru_b,
+                           jnp.concatenate([ya, conds], axis=-1),
+                           h0=h_b)
+        logits = _logits(params, yb)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgts[..., None], axis=-1)
+        return (h_a, h_b), jnp.sum(nll)
+
+    h0 = (jnp.zeros((b, params.gru_a.units), jnp.float32),
+          jnp.zeros((b, params.gru_b.units), jnp.float32))
+    _, nlls = jax.lax.scan(
+        seg_fn, h0, (segs(prev_x), segs(prev_e), segs(pred),
+                     segs(cond_up), segs(target)))
+    return jnp.sum(nlls) / (b * t)
+
+
 def loss_fn(params: LPCNetParams, feat, periods, x, lpc,
-            noise_key=None, noise_levels: int = 2) -> jax.Array:
+            noise_key=None, noise_levels: int = 2,
+            time_chunks: int = 0) -> jax.Array:
     """Cross-entropy on next-sample mu-law excitation (teacher forced).
 
     lpc_pred's raw output at t is the prediction of x[t+1] (it includes
@@ -195,7 +254,10 @@ def loss_fn(params: LPCNetParams, feat, periods, x, lpc,
 
     With noise_key set, the input streams are rebuilt through
     noisy_streams (mu-law noise injection; targets steer back to the
-    clean signal).
+    clean signal).  time_chunks > 0 computes the identical loss as a
+    rematerialised scan over that many time segments (_chunked_nll) —
+    required past the ~2 GiB activation boundary (batch >= 64 at the
+    flagship utterance length).
     """
     if noise_key is not None:
         x_in, exc_in, pred_t, exc_tgt = noisy_streams(
@@ -203,6 +265,9 @@ def loss_fn(params: LPCNetParams, feat, periods, x, lpc,
     else:
         exc_tgt, pred_t = teacher_streams(x, lpc)
         x_in, exc_in = x, exc_tgt
+    if time_chunks:
+        return _chunked_nll(params, feat, periods, x_in, exc_in,
+                            pred_t, exc_tgt, time_chunks)
     logits = forward(params, feat, periods, x_in, exc_in, pred_t)
     # target: excitation at t given inputs up to t (16-bit mu-law code)
     target = l2u_index(exc_tgt * 32768.0)

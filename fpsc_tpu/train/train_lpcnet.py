@@ -74,10 +74,17 @@ def coded_dataset(coded_dir: str, base: Dataset) -> Dataset:
                    process_count=base.process_count)
 
 
-def make_step(tx, loss_fn=None, noise_levels: int = 0):
+def make_step(tx, loss_fn=None, noise_levels: int = 0,
+              time_chunks: int = 0):
     """noise_levels > 0 enables mu-law noise injection on the
     teacher-forced signal path (lpcnet.noisy_streams — the classic
-    LPCNet exposure-bias mitigation); eval always runs clean."""
+    LPCNet exposure-bias mitigation); eval always runs clean.
+    time_chunks > 0 computes the CE as a rematerialised scan over
+    time segments (lpcnet._chunked_nll) — identical loss, bounded
+    activation memory; required for batch >= 64 at flagship shapes."""
+    if loss_fn is None and time_chunks:
+        loss_fn = functools.partial(lpcnet.loss_fn,
+                                    time_chunks=time_chunks)
     loss_fn = loss_fn or lpcnet.loss_fn
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -35,7 +35,7 @@ CHAIN = 4
 F = 90          # frames per utterance (flagship chunks config)
 
 
-def measure_vocoder(B):
+def measure_vocoder(B, time_chunks: int = 0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -52,7 +52,7 @@ def measure_vocoder(B):
     periods = jnp.asarray(rng.randint(32, 256, (B, F)).astype(np.int32))
     x = jnp.asarray(rng.randn(B, F * 160).astype(np.float32) * .1)
     lpc = jnp.asarray(rng.randn(B, F, 16).astype(np.float32) * .05)
-    step, _ = make_step(tx, noise_levels=2)
+    step, _ = make_step(tx, noise_levels=2, time_chunks=time_chunks)
     key = jax.random.PRNGKey(2)
     return _timed(step, (params, opt), (feat, periods, x, lpc, key),
                   B * F * 160)
@@ -120,10 +120,18 @@ def main():
                            else "16,64,256,1024,4096").split(",")]
     out = {}
     for B in vb:
+        # one-shot forward crosses the 2 GiB activation boundary past
+        # B=32 at flagship T=14400 ((B, T, 3H) pre-activations) — the
+        # chunked/rematerialised loss (lpcnet._chunked_nll, identical
+        # loss + grads) keeps every buffer bounded.  Chunks sized to
+        # hold the per-segment buffer near the B=32 one-shot size.
+        tc = 0 if B <= 32 else max(2, (B // 32))
         try:
-            r = measure_vocoder(B)
+            r = measure_vocoder(B, time_chunks=tc)
         except Exception as e:
             r = {"error": str(e)[:200]}
+        if tc:
+            r["time_chunks"] = tc
         out[f"vocoder_b{B}"] = r
         print(f"vocoder   B={B:5d}: {r}", flush=True)
     for B in pb:

@@ -312,3 +312,52 @@ def test_noisy_streams_consistency():
                                np.asarray(exc_ref), atol=0.02)
     np.testing.assert_allclose(np.asarray(pred_t0),
                                np.asarray(pred_ref), atol=0.02)
+
+
+def test_chunked_loss_matches_unchunked(model):
+    """lpcnet.loss_fn(time_chunks=n) — the rematerialised segment scan
+    that unlocks batch >= 64 past the 2 GiB activation boundary — must
+    compute the IDENTICAL loss and gradients as the one-shot forward
+    (GRU states thread between segments; prev-sample rolls cross the
+    boundaries)."""
+    import jax
+    import jax.numpy as jnp
+    params = model
+    feat, periods, x, lpc = _fake_batch(b=2, frames=4)
+    args = (jnp.asarray(feat), jnp.asarray(periods), jnp.asarray(x),
+            jnp.asarray(lpc))
+
+    for kw in ({}, {"noise_key": jax.random.PRNGKey(3),
+                    "noise_levels": 2}):
+        l0, g0 = jax.value_and_grad(lpcnet.loss_fn)(params, *args, **kw)
+        l4, g4 = jax.value_and_grad(lpcnet.loss_fn)(
+            params, *args, time_chunks=4, **kw)
+        np.testing.assert_allclose(float(l4), float(l0),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g4)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-6)
+
+
+def test_make_step_time_chunks(tmp_path):
+    """make_step(time_chunks=...) trains with the chunked loss."""
+    import jax
+    import optax
+    params = lpcnet.init_lpcnet(jax.random.PRNGKey(0), CFG)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    from fpsc_tpu.train.train_lpcnet import make_step
+    step, ev = make_step(tx, noise_levels=2, time_chunks=4)
+    r = np.random.RandomState(0)
+    import jax.numpy as jnp
+    feat = jnp.asarray(r.randn(2, 4, 20).astype(np.float32) * .3)
+    periods = jnp.asarray(r.randint(32, 256, (2, 4)).astype(np.int32))
+    x = jnp.asarray(r.randn(2, 640).astype(np.float32) * .1)
+    lpc = jnp.asarray(r.randn(2, 4, 16).astype(np.float32) * .05)
+    losses = []
+    for i in range(8):
+        params, opt, loss = step(params, opt, feat, periods, x, lpc,
+                                 jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
