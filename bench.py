@@ -364,7 +364,7 @@ def _train_throughput(jax, jnp):
     step, _ = make_step(tx, noise_levels=2)
     key = jax.random.PRNGKey(2)
 
-    def timed(step_fn, args, carry_len):
+    def timed(step_fn, args, carry_len, batch=B):
         nonlocal params, opt
         flops = None
         try:
@@ -390,13 +390,34 @@ def _train_throughput(jax, jnp):
             times.append((time.perf_counter() - t0) / CHAIN)
         med = statistics.median(times)
         row = {"steps_per_s": round(1.0 / med, 2),
-               "samples_per_s": round(B * carry_len / med)}
+               "samples_per_s": round(batch * carry_len / med)}
         if flops:
             row["mfu_pct"] = round(100 * flops / med / PEAK_FLOPS, 1)
         return row
 
     v = timed(step, (feat, periods, x, lpc, key), F * 160)
     out.update({f"train_vocoder_{k}": x_ for k, x_ in v.items()})
+
+    # wide-batch training row (round 5, VERDICT r4 next #2): the
+    # teacher-forced CE step is latency-bound like the sampler, so
+    # batch width amortises it — but the one-shot forward crosses
+    # XLA's 2 GiB activation boundary past B=32 at flagship shapes;
+    # the chunked rematerialised loss (lpcnet.loss_fn(time_chunks=n),
+    # identical loss+grads) unlocks it.  Measured full curve in
+    # scripts/bench_train_scaling.py: 1.02M samples/s @ B16 ->
+    # 3.82M @ B512/tc18; B128/tc5 is the knee.
+    BW = 128
+    params = lpcnet.init_lpcnet(jax.random.PRNGKey(0), cfg)
+    opt = tx.init(params)
+    featw = jnp.asarray(rng.randn(BW, F, 20).astype(np.float32) * .3)
+    periodsw = jnp.asarray(rng.randint(32, 256, (BW, F))
+                           .astype(np.int32))
+    xw = jnp.asarray(rng.randn(BW, F * 160).astype(np.float32) * .1)
+    lpcw = jnp.asarray(rng.randn(BW, F, 16).astype(np.float32) * .05)
+    stepw, _ = make_step(tx, noise_levels=2, time_chunks=5)
+    vw = timed(stepw, (featw, periodsw, xw, lpcw, key), F * 160,
+               batch=BW)
+    out.update({f"train_vocoder_b128_{k}": x_ for k, x_ in vw.items()})
 
     from fpsc_tpu.models import frame_predictor as fp
     import functools

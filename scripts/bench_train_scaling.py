@@ -125,7 +125,13 @@ def main():
         # chunked/rematerialised loss (lpcnet._chunked_nll, identical
         # loss + grads) keeps every buffer bounded.  Chunks sized to
         # hold the per-segment buffer near the B=32 one-shot size.
-        tc = 0 if B <= 32 else max(2, (B // 32))
+        if B <= 32:
+            tc = 0
+        else:
+            # chunk count must divide the frame count (segment
+            # boundaries sit on frame boundaries)
+            tc = next(d for d in (2, 3, 5, 6, 9, 10, 15, 18, 30, 45, 90)
+                      if d >= B // 32 and F % d == 0)
         try:
             r = measure_vocoder(B, time_chunks=tc)
         except Exception as e:
