@@ -112,6 +112,16 @@ def main(budget_s: float = 600.0, utts: int = 192,
         "bunch2_ramp": ["lpcnet.bunch=2", "lpcnet.gru_b_units=32",
                         "lpcnet.noise_levels=2",
                         "lpcnet.noise_warmup_frac=0.5"],
+        # round-5 wide-batch training arm (VERDICT r4 next #2): the
+        # production recipe at batch 48 — 3x the samples per step at
+        # near-constant step latency (scripts/bench_train_scaling.py)
+        # — vs the same recipe at batch 16 under equal wall time.
+        # (bunch=2 at B=48 stays under the 2 GiB activation boundary;
+        # unbunched wide arms need lpcnet.loss_fn(time_chunks=n).)
+        "bunch2_ramp_b48": ["lpcnet.bunch=2", "lpcnet.gru_b_units=32",
+                            "lpcnet.noise_levels=2",
+                            "lpcnet.noise_warmup_frac=0.5",
+                            "data.batch_size=48"],
     }
     if arm_filter:
         keep = set(arm_filter.split(","))
