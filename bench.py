@@ -262,6 +262,63 @@ def main():
     res["bunch4_b256"] = measure(b4params, mcfg=b4cfg, bunch=4, b=256)
     res["bunch4_b768"] = measure(b4params, mcfg=b4cfg, bunch=4, b=768)
 
+    # >768-stream serving row (round 5, VERDICT r4 next #1): b896+
+    # kernels hit the Mosaic compile cliff, so wider serving chains
+    # independent b768 dispatches.  Measured BETTER than neutral
+    # (probe_overlap.py: the longer dispatch queue overlaps each
+    # program's host/prologue setup with the previous kernel): this
+    # row times 3 distinct b768 batches (2304 streams) per chain
+    # round with ONE sync, the realistic wide-serving deployment.
+    def measure_multi(p, n_disp=3, b=768):
+        gen = jax.jit(lambda p, f, pe, l, k: jnp.sum(
+            pallas_generate(p, f, pe, l, k)))
+        ins = []
+        for d in range(n_disp):
+            r = np.random.RandomState(1000 + d)
+            ins.append((
+                jnp.asarray(r.randn(b, frames, 20).astype(np.float32)
+                            * .3),
+                jnp.asarray(r.randint(32, 256, (b, frames))
+                            .astype(np.int32)),
+                jnp.asarray(r.randn(b, frames, 16).astype(np.float32)
+                            * .05)))
+        f0, pe0, l0 = ins[0]
+        float(gen(p, f0, pe0, l0, jax.random.PRNGKey(1)))
+        for _ in range(2):      # warm chain
+            acc = None
+            for j in range(CHAIN):
+                for d, (f, pe, l) in enumerate(ins):
+                    s = gen(p, f, pe, l, jax.random.PRNGKey(j * 3 + d))
+                    acc = s if acc is None else acc + s
+            float(acc)
+        times = []
+        for i in range(REPS):
+            t0 = time.perf_counter()
+            acc = None
+            for j in range(CHAIN):
+                for d, (f, pe, l) in enumerate(ins):
+                    s = gen(p, f, pe, l,
+                            jax.random.PRNGKey(i * 100 + j * 3 + d))
+                    acc = s if acc is None else acc + s
+            float(acc)
+            times.append((time.perf_counter() - t0) / CHAIN)
+        st = _stats(times)
+        rtf = n_disp * b * seconds / st["median_s"]
+        fps = _sampler_flops_per_sample(b4cfg, 4, 1.0)
+        samples_per_s = rtf * C.SAMPLE_RATE
+        row = {"rtf": round(rtf, 1),
+               "rtf_best": round(n_disp * b * seconds / st["min_s"], 1),
+               "spread_pct": round(100 * (st["max_s"] - st["min_s"])
+                                   / st["median_s"], 1),
+               "samples_per_s": round(samples_per_s),
+               "mfu_pct": round(100 * samples_per_s * fps
+                                / PEAK_FLOPS, 1)}
+        if st["outliers"]:
+            row["outliers"] = st["outliers"]
+        return row
+
+    res["bunch4_b768x3"] = measure_multi(b4params)
+
     # int8 headroom demo (VERDICT r3 next #2): GRU_A 640 at int8 runs
     # the 1.67x-larger recurrent matmul at the same RTF as its bf16
     # twin (the extra FLOPs, not the weight storage, set the cost).
@@ -318,7 +375,10 @@ def main():
         "vs_baseline_b128": round(res[best128]["rtf"] / 500.0, 3),
         "best_path": best,
         "best_path_b128": best128,
-        "headline_batch": (int(best.rsplit("_b", 1)[1])
+        # "768x3" = 3 chained b768 dispatches (2304 streams)
+        "headline_batch": (int(np.prod([int(v) for v in
+                                        best.rsplit("_b", 1)[1]
+                                        .split("x")]))
                            if "_b" in best else 128),
         "encode_rtf": round(rtf_enc, 1),
         "peak_flops": PEAK_FLOPS,
