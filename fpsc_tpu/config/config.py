@@ -124,6 +124,11 @@ class LPCNetConfig:
     # measured NEGATIVE at short budgets but positive once converged
     # (VALIDATION.md); the ramp buys the fast clean warmup first.
     noise_warmup_frac: float = 0.0
+    # rematerialised CE over this many time segments (0 = one-shot):
+    # identical loss+grads, activation buffers bounded to T/n — needed
+    # past XLA's 2 GiB single-buffer limit (batch >= 64 unbunched /
+    # ~96 bunched at flagship shapes).  Must divide the frame count.
+    time_chunks: int = 0
     # GRU_A recurrent block sparsification (1.0 = dense); the cubic
     # ramp runs between the two step counts (LPCNet training practice)
     gru_a_density: float = 1.0

@@ -126,18 +126,94 @@ def forward(params: BunchedParams, feat: jax.Array, periods: jax.Array,
     return logits1, logits2
 
 
+def _seg_scan_nll(n_seg, carry_units, seg_fn, streams, b, k):
+    """Shared chunked-CE driver (see lpcnet._chunked_nll for the
+    why: XLA's 2 GiB single-buffer boundary at wide batch).  streams:
+    list of (B, K, ...) arrays segmented over K into n_seg pieces;
+    seg_fn((h_a, h_b), seg_streams) -> ((h_a, h_b), nll_sum) runs
+    under jax.checkpoint so each segment rematerialises in the
+    backward pass."""
+    assert k % n_seg == 0, (k, n_seg)
+    ks = k // n_seg
+
+    def segs(a):
+        return jnp.swapaxes(
+            a.reshape(b, n_seg, ks, *a.shape[2:]), 0, 1)
+
+    h0 = tuple(jnp.zeros((b, u), jnp.float32) for u in carry_units)
+    _, nlls = jax.lax.scan(jax.checkpoint(seg_fn), h0,
+                           tuple(segs(a) for a in streams))
+    return jnp.sum(nlls)
+
+
+def _chunked_nll2(params: BunchedParams, feat, periods, x, exc, pred,
+                  exc_tgt, n_seg: int) -> jax.Array:
+    """Chunked/rematerialised twin of the bunch=2 CE (identical loss
+    and gradients; the (B, K, 3H) pre-activation buffer crosses the
+    2 GiB boundary near batch 96 at flagship shapes)."""
+    base = params.base
+    b, t = x.shape
+    cond = lpcnet.frame_net(base, feat, periods)
+    cond_p = jnp.repeat(cond, C.FRAME_SIZE // 2, axis=1)
+    xb, eb, pb = _pair_streams(x, exc, pred)
+    prev_x2 = jnp.roll(xb[:, :, 0], 1, axis=1).at[:, 0].set(0.0)
+    prev_x1 = jnp.roll(xb[:, :, 1], 1, axis=1).at[:, 0].set(0.0)
+    prev_e2 = jnp.roll(eb[:, :, 0], 1, axis=1).at[:, 0].set(0.0)
+    prev_e1 = jnp.roll(eb[:, :, 1], 1, axis=1).at[:, 0].set(0.0)
+    ebt = exc_tgt.reshape(b, -1, 2)
+    t1 = l2u_index(ebt[:, :, 0] * 32768.0)
+    t2 = l2u_index(ebt[:, :, 1] * 32768.0)
+
+    def emb(v):
+        return embedding(base.sample_emb, l2u_index(v * 32768.0))
+
+    def seg_fn(carry, seg):
+        h_a, h_b = carry
+        px2, px1, pe2, pe1, p0, x0, p1, conds, tg1, tg2 = seg
+        inp = jnp.concatenate([
+            emb(px2), emb(px1), emb(pe2), emb(pe1), emb(p0), conds],
+            axis=-1)
+        ya, h_a = gru_scan(base.gru_a, inp, h0=h_a)
+        ybs, h_b = gru_scan(base.gru_b,
+                            jnp.concatenate([ya, conds], axis=-1),
+                            h0=h_b)
+        logits1 = (jnp.tanh(dense(base.fc1, ybs))
+                   + jnp.tanh(dense(base.fc2, ybs)))
+        h2in = jnp.concatenate([ybs, emb(x0), emb(p1)], axis=-1)
+        logits2 = (jnp.tanh(dense(params.fc3, h2in))
+                   + jnp.tanh(dense(params.fc4, h2in)))
+        nll = 0.0
+        for logits, tgt in ((logits1, tg1), (logits2, tg2)):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll += -jnp.sum(
+                jnp.take_along_axis(logp, tgt[..., None], axis=-1))
+        return (h_a, h_b), nll
+
+    k = t // 2
+    total = _seg_scan_nll(
+        n_seg, (base.gru_a.units, base.gru_b.units), seg_fn,
+        [prev_x2, prev_x1, prev_e2, prev_e1, pb[:, :, 0], xb[:, :, 0],
+         pb[:, :, 1], cond_p, t1, t2], b, k)
+    return total / (2.0 * b * k)
+
+
 def loss_fn(params: BunchedParams, feat, periods, x, lpc,
-            noise_key=None, noise_levels: int = 2) -> jax.Array:
+            noise_key=None, noise_levels: int = 2,
+            time_chunks: int = 0) -> jax.Array:
     """Mean CE over both heads (teacher forced); stream alignment
     identical to lpcnet.loss_fn.  noise_key enables the same mu-law
     noise injection as lpcnet.noisy_streams (head 2's realised-sample
-    conditioning also flows through the noisy signal)."""
+    conditioning also flows through the noisy signal).  time_chunks
+    as in lpcnet.loss_fn (identical loss, bounded activations)."""
     if noise_key is not None:
         x_in, exc_in, pred_t, exc_tgt = lpcnet.noisy_streams(
             x, lpc, noise_key, noise_levels)
     else:
         exc_tgt, pred_t = lpcnet.teacher_streams(x, lpc)
         x_in, exc_in = x, exc_tgt
+    if time_chunks:
+        return _chunked_nll2(params, feat, periods, x_in, exc_in,
+                             pred_t, exc_tgt, time_chunks)
     logits1, logits2 = forward(params, feat, periods, x_in, exc_in,
                                pred_t)
     eb = exc_tgt.reshape(exc_tgt.shape[0], -1, 2)
@@ -360,14 +436,88 @@ def forward4(params: Bunched4Params, feat, periods, x, exc, pred):
     return logits
 
 
+def _chunked_nll4(params: Bunched4Params, feat, periods, x, exc,
+                  pred, exc_tgt, n_seg: int) -> jax.Array:
+    """Chunked/rematerialised twin of the bunch=4 CE (see
+    _chunked_nll2)."""
+    base = params.base
+    levels = base.fc1.w.shape[0]
+    b, t = x.shape
+    k = t // 4
+    cond = lpcnet.frame_net(base, feat, periods)
+    cond_p = jnp.repeat(cond, C.FRAME_SIZE // 4, axis=1)
+    xb = x.reshape(b, k, 4)
+    eb = exc.reshape(b, k, 4)
+    pb = pred.reshape(b, k, 4)
+    tgt = l2u_index(exc_tgt.reshape(b, k, 4) * 32768.0)
+
+    def prev(stream, s):
+        r = jnp.roll(stream[:, :, s], 1, axis=1)
+        return r.at[:, 0].set(0.0)
+
+    prev_xs = [prev(xb, s) for s in range(4)]
+    prev_es = [prev(eb, s) for s in range(4)]
+    prev_x3 = prev(xb, 3)           # xp2 for head s=1
+
+    def emb(v):
+        return embedding(base.sample_emb, l2u_index(v * 32768.0))
+
+    def seg_fn(carry, seg):
+        h_a, h_b = carry
+        (px0, px1, px2, px3, pe0, pe1, pe2, pe3, px3g, xbs, pbs,
+         conds, tgts) = seg
+        inp = jnp.concatenate(
+            [emb(v) for v in (px0, px1, px2, px3,
+                              pe0, pe1, pe2, pe3)]
+            + [emb(pbs[:, :, 0]), conds], axis=-1)
+        ya, h_a = gru_scan(base.gru_a, inp, h0=h_a)
+        ybs, h_b = gru_scan(base.gru_b,
+                            jnp.concatenate([ya, conds], axis=-1),
+                            h0=h_b)
+        logits = [(jnp.tanh(dense(base.fc1, ybs))
+                   + jnp.tanh(dense(base.fc2, ybs)))]
+        for s in range(1, 4):
+            xp1 = xbs[:, :, s - 1]
+            xp2 = xbs[:, :, s - 2] if s >= 2 else px3g
+            h2in = jnp.concatenate(
+                [ybs, emb(xp1), emb(xp2), emb(pbs[:, :, s])], axis=-1)
+            r0 = (s - 1) * levels
+            w3 = params.fc3.w[r0:r0 + levels]
+            b3 = params.fc3.b[r0:r0 + levels]
+            w4 = params.fc4.w[r0:r0 + levels]
+            b4 = params.fc4.b[r0:r0 + levels]
+            logits.append(
+                jnp.tanh(jnp.dot(h2in, w3.T,
+                                 preferred_element_type=jnp.float32)
+                         + b3)
+                + jnp.tanh(jnp.dot(h2in, w4.T,
+                                   preferred_element_type=jnp.float32)
+                           + b4))
+        nll = 0.0
+        for s in range(4):
+            logp = jax.nn.log_softmax(logits[s], axis=-1)
+            nll += -jnp.sum(jnp.take_along_axis(
+                logp, tgts[:, :, s][..., None], axis=-1))
+        return (h_a, h_b), nll
+
+    total = _seg_scan_nll(
+        n_seg, (base.gru_a.units, base.gru_b.units), seg_fn,
+        prev_xs + prev_es + [prev_x3, xb, pb, cond_p, tgt], b, k)
+    return total / (4.0 * b * k)
+
+
 def loss_fn4(params: Bunched4Params, feat, periods, x, lpc,
-             noise_key=None, noise_levels: int = 2) -> jax.Array:
+             noise_key=None, noise_levels: int = 2,
+             time_chunks: int = 0) -> jax.Array:
     if noise_key is not None:
         x_in, exc_in, pred_t, exc_tgt = lpcnet.noisy_streams(
             x, lpc, noise_key, noise_levels)
     else:
         exc_tgt, pred_t = lpcnet.teacher_streams(x, lpc)
         x_in, exc_in = x, exc_tgt
+    if time_chunks:
+        return _chunked_nll4(params, feat, periods, x_in, exc_in,
+                             pred_t, exc_tgt, time_chunks)
     logits = forward4(params, feat, periods, x_in, exc_in, pred_t)
     b, t = x.shape
     eb = exc_tgt.reshape(b, t // 4, 4)

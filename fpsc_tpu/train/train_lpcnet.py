@@ -82,10 +82,11 @@ def make_step(tx, loss_fn=None, noise_levels: int = 0,
     time_chunks > 0 computes the CE as a rematerialised scan over
     time segments (lpcnet._chunked_nll) — identical loss, bounded
     activation memory; required for batch >= 64 at flagship shapes."""
-    if loss_fn is None and time_chunks:
-        loss_fn = functools.partial(lpcnet.loss_fn,
-                                    time_chunks=time_chunks)
     loss_fn = loss_fn or lpcnet.loss_fn
+    if time_chunks:
+        # all three loss variants (lpcnet.loss_fn, lpcnet_bunched.
+        # loss_fn / loss_fn4) take the kwarg
+        loss_fn = functools.partial(loss_fn, time_chunks=time_chunks)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, feat, periods, x, lpc, key):
@@ -221,7 +222,8 @@ def run(cfg: Config, data_dir: Optional[str] = None,
     loss_fns = {1: lpcnet.loss_fn, 2: lpcnet_bunched.loss_fn,
                 4: lpcnet_bunched.loss_fn4}
     train_step, eval_step = make_step(tx, loss_fns[bunch],
-                                      cfg.lpcnet.noise_levels)
+                                      cfg.lpcnet.noise_levels,
+                                      cfg.lpcnet.time_chunks)
     # ramp-in schedule: a separate CLEAN step for the warmup phase
     # (lpcnet.noise_warmup_frac of the budget), then switch to the
     # noisy step.  Both are compiled before the wall clock starts so
@@ -229,7 +231,8 @@ def run(cfg: Config, data_dir: Optional[str] = None,
     # compile.
     ramp = (cfg.lpcnet.noise_levels > 0
             and cfg.lpcnet.noise_warmup_frac > 0.0)
-    clean_step = (make_step(tx, loss_fns[bunch], 0)[0] if ramp
+    clean_step = (make_step(tx, loss_fns[bunch], 0,
+                            cfg.lpcnet.time_chunks)[0] if ramp
                   else train_step)
     noise_base = jax.random.PRNGKey(cfg.train.seed + 77)
 

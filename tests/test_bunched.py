@@ -331,3 +331,34 @@ def test_bunch4_training_learns():
     params, min_loss = train_lpcnet.run(cfg)
     assert isinstance(params, lb.Bunched4Params)
     assert min_loss < 5.4, f"CE did not drop: {min_loss}"
+
+
+def test_chunked_bunched_losses_match_unchunked():
+    """time_chunks twins of the bunch=2/4 CEs (the rematerialised
+    segment scans that unlock wide-batch training) must compute the
+    IDENTICAL loss and gradients as the one-shot forwards, clean and
+    noise-injected."""
+    feat, periods, lpc = _inputs(b=2, frames=4)
+    x = jnp.asarray((RNG.randn(2, 640) * 0.1).astype(np.float32))
+    cases = [
+        (lb.init_bunched(jax.random.PRNGKey(0), CFG), lb.loss_fn),
+        (lb.init_bunched4(
+            jax.random.PRNGKey(0),
+            lpcnet.LPCNetConfig(gru_a_units=48, gru_b_units=16,
+                                embed_dim=16, cond_units=24)),
+         lb.loss_fn4),
+    ]
+    for params, fn in cases:
+        for kw in ({}, {"noise_key": jax.random.PRNGKey(5),
+                        "noise_levels": 2}):
+            l0, g0 = jax.value_and_grad(fn)(params, feat, periods, x,
+                                            lpc, **kw)
+            l4, g4 = jax.value_and_grad(fn)(params, feat, periods, x,
+                                            lpc, time_chunks=4, **kw)
+            np.testing.assert_allclose(float(l4), float(l0),
+                                       rtol=1e-5, atol=1e-6)
+            for a, b in zip(jax.tree_util.tree_leaves(g0),
+                            jax.tree_util.tree_leaves(g4)):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a),
+                    rtol=3e-4, atol=3e-6)
