@@ -479,6 +479,22 @@ def _train_throughput(jax, jnp):
                batch=BW)
     out.update({f"train_vocoder_b128_{k}": x_ for k, x_ in vw.items()})
 
+    # the PRODUCTION recipe's train step (bunch=2, GRU_B 32 — what
+    # validate_flagship actually trains) at the same wide batch.  The
+    # pair program halves the scan length, so bunched training runs
+    # ~1.8x the unbunched samples/s at every batch and one-shots up to
+    # B=64; measured curve 1.86M @ B16 -> 5.19M @ B512 in
+    # scripts/bench_train_scaling.py ("" "" 16,...,512).
+    from fpsc_tpu.models import lpcnet_bunched
+    cfg2 = lpcnet.LPCNetConfig(gru_b_units=32)
+    params = lpcnet_bunched.init_bunched(jax.random.PRNGKey(0), cfg2)
+    opt = tx.init(params)
+    step2, _ = make_step(tx, loss_fn=lpcnet_bunched.loss_fn,
+                         noise_levels=2, time_chunks=2)
+    v2 = timed(step2, (featw, periodsw, xw, lpcw, key), F * 160,
+               batch=BW)
+    out.update({f"train_vocoder2_b128_{k}": x_ for k, x_ in v2.items()})
+
     from fpsc_tpu.models import frame_predictor as fp
     import functools
     params = fp.init_frame_predictor(jax.random.PRNGKey(0))

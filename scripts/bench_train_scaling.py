@@ -35,24 +35,36 @@ CHAIN = 4
 F = 90          # frames per utterance (flagship chunks config)
 
 
-def measure_vocoder(B, time_chunks: int = 0):
+def measure_vocoder(B, time_chunks: int = 0, bunch: int = 1):
     import jax
     import jax.numpy as jnp
     import optax
 
-    from fpsc_tpu.models import lpcnet
+    from fpsc_tpu.models import lpcnet, lpcnet_bunched
     from fpsc_tpu.train.train_lpcnet import make_step
 
     rng = np.random.RandomState(1)
-    cfg = lpcnet.LPCNetConfig()
-    params = lpcnet.init_lpcnet(jax.random.PRNGKey(0), cfg)
+    if bunch == 1:
+        cfg = lpcnet.LPCNetConfig()
+        params = lpcnet.init_lpcnet(jax.random.PRNGKey(0), cfg)
+        loss = None
+    else:
+        # the production recipe (validate_flagship / the A/B arms):
+        # bunch=2, gru_b_units=32
+        cfg = lpcnet.LPCNetConfig(gru_b_units=32)
+        init = {2: lpcnet_bunched.init_bunched,
+                4: lpcnet_bunched.init_bunched4}[bunch]
+        params = init(jax.random.PRNGKey(0), cfg)
+        loss = {2: lpcnet_bunched.loss_fn,
+                4: lpcnet_bunched.loss_fn4}[bunch]
     tx = optax.adam(1e-4)
     opt = tx.init(params)
     feat = jnp.asarray(rng.randn(B, F, 20).astype(np.float32) * .3)
     periods = jnp.asarray(rng.randint(32, 256, (B, F)).astype(np.int32))
     x = jnp.asarray(rng.randn(B, F * 160).astype(np.float32) * .1)
     lpc = jnp.asarray(rng.randn(B, F, 16).astype(np.float32) * .05)
-    step, _ = make_step(tx, noise_levels=2, time_chunks=time_chunks)
+    step, _ = make_step(tx, loss_fn=loss, noise_levels=2,
+                        time_chunks=time_chunks)
     key = jax.random.PRNGKey(2)
     return _timed(step, (params, opt), (feat, periods, x, lpc, key),
                   B * F * 160)
@@ -115,23 +127,30 @@ def _timed(step_fn, state, args, samples_per_step):
 
 def main():
     vb = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1
-                           else "16,32,64,128,256").split(",")]
+                           else "16,32,64,128,256").split(",") if x]
     pb = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2
-                           else "16,64,256,1024,4096").split(",")]
+                           else "16,64,256,1024,4096").split(",") if x]
+    b2 = [int(x) for x in sys.argv[3].split(",") if x] \
+        if len(sys.argv) > 3 else []
     out = {}
-    for B in vb:
+
+    def chunks_for(B, boundary):
         # one-shot forward crosses the 2 GiB activation boundary past
-        # B=32 at flagship T=14400 ((B, T, 3H) pre-activations) — the
-        # chunked/rematerialised loss (lpcnet._chunked_nll, identical
-        # loss + grads) keeps every buffer bounded.  Chunks sized to
-        # hold the per-segment buffer near the B=32 one-shot size.
-        if B <= 32:
-            tc = 0
-        else:
-            # chunk count must divide the frame count (segment
-            # boundaries sit on frame boundaries)
-            tc = next(d for d in (2, 3, 5, 6, 9, 10, 15, 18, 30, 45, 90)
-                      if d >= B // 32 and F % d == 0)
+        # B=`boundary` at flagship T=14400 ((B, T, 3H) pre-activations;
+        # the bunch=2 pair program halves the step count so the
+        # boundary sits ~2x higher) — the chunked/rematerialised loss
+        # (lpcnet._chunked_nll / lpcnet_bunched._chunked_nll2,
+        # identical loss + grads) keeps every buffer bounded.  Chunk
+        # count must divide the frame count (segment boundaries sit on
+        # frame boundaries); sized to keep the per-segment buffer near
+        # the largest one-shot size.
+        if B <= boundary:
+            return 0
+        return next(d for d in (2, 3, 5, 6, 9, 10, 15, 18, 30, 45, 90)
+                    if d >= B // boundary and F % d == 0)
+
+    for B in vb:
+        tc = chunks_for(B, 32)
         try:
             r = measure_vocoder(B, time_chunks=tc)
         except Exception as e:
@@ -140,6 +159,16 @@ def main():
             r["time_chunks"] = tc
         out[f"vocoder_b{B}"] = r
         print(f"vocoder   B={B:5d}: {r}", flush=True)
+    for B in b2:
+        tc = chunks_for(B, 64)
+        try:
+            r = measure_vocoder(B, time_chunks=tc, bunch=2)
+        except Exception as e:
+            r = {"error": str(e)[:200]}
+        if tc:
+            r["time_chunks"] = tc
+        out[f"vocoder_bunch2_b{B}"] = r
+        print(f"vocoder2  B={B:5d}: {r}", flush=True)
     for B in pb:
         try:
             r = measure_predictor(B)

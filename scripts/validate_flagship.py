@@ -9,7 +9,13 @@ block-sparsity ramp to 0.2 density - synthesising through the fused
 kernel's bunch=2 + static-block-sparse path (the bench.py headline
 configuration, quality-checked here on decoded features).
 
-    python scripts/validate_flagship.py [pred_epochs] [voc_epochs] [style] [noise] [noise_warmup_frac] [utterances]
+    python scripts/validate_flagship.py [pred_epochs] [voc_epochs] [style] [noise] [noise_warmup_frac] [utterances] [voc_batch]
+
+voc_batch (default 16) sets the VOCODER stage's batch size — the
+round-5 wide-batch recipe (data.batch_size=48: 3x the samples/step at
+near-constant step latency, decodes better per wall-second than B=16;
+VALIDATION.md round 5).  Scale voc_epochs to match wall budgets when
+comparing across batch sizes (B=48 epochs run ~1.5x faster).
 
 style defaults to "speech"; pass "speech_hard" for the multi-speaker +
 additive-noise stress regime (round-2 verdict item 10).
@@ -34,7 +40,8 @@ OUT = "/tmp/fpsc_flagship"
 
 def main(pred_epochs: int = 400, voc_epochs: int = 400,
          style: str = "speech", noise: int = 2,
-         noise_warmup: float = 0.0, utterances: int = 96):
+         noise_warmup: float = 0.0, utterances: int = 96,
+         voc_batch: int = 16):
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +105,10 @@ def main(pred_epochs: int = 400, voc_epochs: int = 400,
 
     cfg_v = Config(label=label + "_voc")
     apply_overrides(cfg_v, data + [
+        # round-5 wide-batch recipe (equal-wall-time A/B: B=48 decodes
+        # BETTER than B=16 per wall-second — VALIDATION.md round 5);
+        # later override wins over data's batch_size=16
+        f"data.batch_size={voc_batch}",
         "train.learning_rate=0.001", f"train.epochs={voc_epochs}",
         f"train.save_dir={OUT}", "train.save_every=100",
         "lpcnet.bunch=2", "lpcnet.gru_b_units=32",
@@ -169,4 +180,5 @@ if __name__ == "__main__":
          sys.argv[3] if len(sys.argv) > 3 else "speech",
          int(sys.argv[4]) if len(sys.argv) > 4 else 2,
          float(sys.argv[5]) if len(sys.argv) > 5 else 0.0,
-         int(sys.argv[6]) if len(sys.argv) > 6 else 96)
+         int(sys.argv[6]) if len(sys.argv) > 6 else 96,
+         int(sys.argv[7]) if len(sys.argv) > 7 else 16)
