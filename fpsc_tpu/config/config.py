@@ -124,10 +124,13 @@ class LPCNetConfig:
     # measured NEGATIVE at short budgets but positive once converged
     # (VALIDATION.md); the ramp buys the fast clean warmup first.
     noise_warmup_frac: float = 0.0
-    # rematerialised CE over this many time segments (0 = one-shot):
-    # identical loss+grads, activation buffers bounded to T/n — needed
-    # past XLA's 2 GiB single-buffer limit (batch >= 64 unbunched /
+    # rematerialised CE over this many time segments: identical
+    # loss+grads, activation buffers bounded to T/n — needed past
+    # XLA's 2 GiB single-buffer limit (batch >= 64 unbunched /
     # ~96 bunched at flagship shapes).  Must divide the frame count.
+    # 0 = AUTO: one-shot while it fits, else the smallest divisor
+    # keeping segments under the measured boundary
+    # (train_lpcnet.auto_time_chunks); 1 forces the one-shot scan.
     time_chunks: int = 0
     # GRU_A recurrent block sparsification (1.0 = dense); the cubic
     # ramp runs between the two step counts (LPCNet training practice)

@@ -74,6 +74,28 @@ def coded_dataset(coded_dir: str, base: Dataset) -> Dataset:
                    process_count=base.process_count)
 
 
+def auto_time_chunks(batch_size: int, chunks: int, bunch: int,
+                     gru_a_units: int) -> int:
+    """Smallest frame-count-divisor `time_chunks` that keeps the
+    one-shot CE's (B, T/bunch, 3H) f32 pre-activation buffer under
+    XLA's 2 GiB single-buffer compile boundary — 0 when one-shot fits.
+    The boundary is measured, not theoretical: 2.12 GB compiles,
+    4.25 GB hard-fails the remote compile (VALIDATION.md round 5,
+    scripts/bench_train_scaling.py); this rule reproduces the
+    measured-good points exactly (bunch=2: B128->tc2, B256->tc5,
+    B512->tc9; unbunched: B64->tc2, B128->tc5, B512->tc18).  Set
+    lpcnet.time_chunks=1 to force the (segment-scan) one-shot."""
+    n_frames = chunks * (C.SAMPLES_PER_CHUNK // C.FRAME_SIZE)
+    steps = chunks * C.SAMPLES_PER_CHUNK // bunch
+    buf = 4 * batch_size * steps * 3 * gru_a_units
+    lim = 2.13e9                  # proven segment size (2.12 GB ok)
+    if buf <= lim:
+        return 0
+    want = int(np.ceil(buf / lim))
+    return next(n for n in range(want, n_frames + 1)
+                if n_frames % n == 0)
+
+
 def make_step(tx, loss_fn=None, noise_levels: int = 0,
               time_chunks: int = 0):
     """noise_levels > 0 enables mu-law noise injection on the
@@ -221,9 +243,15 @@ def run(cfg: Config, data_dir: Optional[str] = None,
               f"({len(train_ds)} utterances)")
     loss_fns = {1: lpcnet.loss_fn, 2: lpcnet_bunched.loss_fn,
                 4: lpcnet_bunched.loss_fn4}
+    tc = cfg.lpcnet.time_chunks or auto_time_chunks(
+        cfg.data.batch_size, cfg.data.chunks, bunch,
+        cfg.lpcnet.gru_a_units)
+    if tc and not cfg.lpcnet.time_chunks:
+        print(f"one-shot CE buffer crosses the 2 GiB compile "
+              f"boundary at batch {cfg.data.batch_size}; "
+              f"auto lpcnet.time_chunks={tc}")
     train_step, eval_step = make_step(tx, loss_fns[bunch],
-                                      cfg.lpcnet.noise_levels,
-                                      cfg.lpcnet.time_chunks)
+                                      cfg.lpcnet.noise_levels, tc)
     # ramp-in schedule: a separate CLEAN step for the warmup phase
     # (lpcnet.noise_warmup_frac of the budget), then switch to the
     # noisy step.  Both are compiled before the wall clock starts so
@@ -231,8 +259,7 @@ def run(cfg: Config, data_dir: Optional[str] = None,
     # compile.
     ramp = (cfg.lpcnet.noise_levels > 0
             and cfg.lpcnet.noise_warmup_frac > 0.0)
-    clean_step = (make_step(tx, loss_fns[bunch], 0,
-                            cfg.lpcnet.time_chunks)[0] if ramp
+    clean_step = (make_step(tx, loss_fns[bunch], 0, tc)[0] if ramp
                   else train_step)
     noise_base = jax.random.PRNGKey(cfg.train.seed + 77)
 

@@ -361,3 +361,27 @@ def test_make_step_time_chunks(tmp_path):
                                  jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+def test_auto_time_chunks_anchors():
+    """auto_time_chunks reproduces the measured compile-boundary
+    anchors from scripts/bench_train_scaling.py (VALIDATION.md
+    round 5): one-shot below 2.13 GB, the recorded divisors above."""
+    from fpsc_tpu.train.train_lpcnet import auto_time_chunks
+    # flagship geometry: chunks=6 (90 frames), GRU_A 384
+    # unbunched: B32 one-shot (2.12 GB), B64->tc2, B128->tc5, B512->tc18
+    assert auto_time_chunks(16, 6, 1, 384) == 0
+    assert auto_time_chunks(32, 6, 1, 384) == 0
+    assert auto_time_chunks(64, 6, 1, 384) == 2
+    assert auto_time_chunks(128, 6, 1, 384) == 5
+    assert auto_time_chunks(512, 6, 1, 384) == 18
+    # bunch=2 halves the scan: B64 one-shot, B128->tc2, B256->tc5,
+    # B512->tc9 (the production curve)
+    assert auto_time_chunks(64, 6, 2, 384) == 0
+    assert auto_time_chunks(96, 6, 2, 384) == 2
+    assert auto_time_chunks(128, 6, 2, 384) == 2
+    assert auto_time_chunks(256, 6, 2, 384) == 5
+    assert auto_time_chunks(512, 6, 2, 384) == 9
+    # result always divides the frame count (scan segment contract)
+    for b in (48, 96, 160, 384, 1024):
+        tc = auto_time_chunks(b, 6, 2, 384)
+        assert tc == 0 or 90 % tc == 0
