@@ -7,20 +7,24 @@ claim also needs SUSTAINED behaviour: does the 512-stream tick hold
 its latency over thousands of consecutive ticks (clock drift, queue
 buildup, allocator creep), and how tight is the distribution?
 
-Method (CLAUDE.md env rule 2): per-tick host timestamps would pay a
-~35 ms tunnel RTT each, so ticks are chained device-side in GROUPS of
-`group` ticks with ONE scalar pull per group — the measured unit is
-ms/tick averaged over a group, and the distribution is over groups
-(jitter at `group`-tick granularity; group=50 = 0.5 s of audio).
-The states thread through the whole soak, so this is one continuous
-session, not repeated fresh starts.
+Method (CLAUDE.md env rule 2): ticks are chained DEVICE-side — one
+`lax.scan` of `group` ticks per dispatch, states threading through
+the whole soak (one continuous session, not repeated fresh starts),
+ONE scalar pull per group.  A host-side per-tick loop was tried
+first and measured 6.4 ms/tick p50 at batch 128 with +30% drift —
+that is the development tunnel's per-dispatch cost (the same ~35 ms
+RTT family round 4 root-caused), not the serving tick, so the scan
+version is the honest one.  The pull itself still costs one tunnel
+RTT per group; the RTT is measured separately on a pre-computed
+scalar and subtracted, and both raw and corrected numbers print.
 
     python scripts/bench_soak.py [batch] [n_ticks] [group]
 
-Defaults: 512 streams, 3000 ticks (30 s of audio per stream,
-~15.4 M stream-frames), group 50.  Reports per-group ms/tick
-min/p50/p90/p99/max, first-vs-last-decile drift, deadline analysis
-vs the 10 ms tick budget, and aggregate stream-frames/s.
+Defaults: 128 streams, 3000 ticks (30 s of audio per stream), group
+250 (2.5 s of audio per timing sample).  Reports per-group ms/tick
+min/p50/p90/p99/max (RTT-corrected), first-vs-last-decile drift,
+deadline analysis vs the 10 ms tick budget, and aggregate
+stream-frames/s.
 """
 import sys
 import time
@@ -30,7 +34,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main(batch: int = 512, n_ticks: int = 3000, group: int = 50):
+def main(batch: int = 128, n_ticks: int = 3000, group: int = 250):
     import jax
     import jax.numpy as jnp
 
@@ -58,41 +62,70 @@ def main(batch: int = 512, n_ticks: int = 3000, group: int = 50):
         (rng.randn(n_rows, batch, 20) * 0.3).astype(np.float32))
     keys = jax.random.split(jax.random.PRNGKey(5), n_rows)
 
-    es, ds, vs = codec.enc_state, codec.dec_state, codec.voc_state
-    es, ds, vs, y = codec._tick(es, ds, vs, keys[0], feats[0])
-    float(jnp.sum(y))                              # compile + warm
+    tick_fn = codec._tick
+
+    def scan_group(states, idx):
+        def body(carry, x):
+            es, ds, vs = carry
+            k, f = x
+            es, ds, vs, y = tick_fn(es, ds, vs, k, f)
+            return (es, ds, vs), jnp.sum(y)
+        xs = (jnp.take(keys, idx, axis=0), jnp.take(feats, idx, axis=0))
+        states, sums = jax.lax.scan(body, states, xs)
+        return states, jnp.sum(sums)
+
+    scan_group = jax.jit(scan_group)
+
+    states = (codec.enc_state, codec.dec_state, codec.voc_state)
+    idx0 = jnp.asarray(np.arange(group) % n_rows, dtype=np.int32)
+    states, s = scan_group(states, idx0)
+    float(s)                                       # compile + warm
+
+    # one pull of an already-computed scalar ~= pure tunnel RTT
+    ready = jnp.sum(jnp.ones(()))
+    float(ready)
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(ready + 0.0)
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtts) * 1e3)
+
     n_groups = n_ticks // group
     per_group_ms = []
     t_start = time.perf_counter()
-    tick = 0
+    tick = group                                   # warm group counted out
     for g in range(n_groups):
+        idx = jnp.asarray((np.arange(group) + tick) % n_rows,
+                          dtype=np.int32)
         t0 = time.perf_counter()
-        for _ in range(group):
-            i = tick % n_rows
-            es, ds, vs, y = codec._tick(es, ds, vs, keys[i], feats[i])
-            tick += 1
-        float(jnp.sum(y))                          # one pull per group
-        per_group_ms.append(
-            (time.perf_counter() - t0) / group * 1e3)
+        states, s = scan_group(states, idx)
+        float(s)                                   # one pull per group
+        per_group_ms.append((time.perf_counter() - t0) * 1e3)
+        tick += group
     wall = time.perf_counter() - t_start
+    n_meas = tick - group
 
-    ms = np.asarray(per_group_ms)
+    raw = np.asarray(per_group_ms)
+    ms = np.maximum(raw - rtt_ms, 0.0) / group     # RTT-corrected /tick
     dec = max(1, len(ms) // 10)
     drift = (ms[-dec:].mean() - ms[:dec].mean()) / ms[:dec].mean()
     agg = batch * 0.010 / (ms.mean() / 1e3)        # x real time
-    print(f"soak: {batch} duplex streams x {tick} ticks "
-          f"({tick * 0.010:.0f} s of audio/stream, "
-          f"{batch * tick / 1e6:.1f}M stream-frames) in {wall:.1f} s")
-    print(f"per-tick ms over {len(ms)} groups of {group}: "
+    print(f"soak: {batch} duplex streams x {n_meas} ticks "
+          f"({n_meas * 0.010:.0f} s of audio/stream, "
+          f"{batch * n_meas / 1e6:.1f}M stream-frames) in {wall:.1f} s; "
+          f"pull RTT {rtt_ms:.1f} ms subtracted per group of {group}")
+    print(f"per-tick ms over {len(ms)} groups: "
           f"min {ms.min():.2f}  p50 {np.percentile(ms, 50):.2f}  "
           f"p90 {np.percentile(ms, 90):.2f}  "
-          f"p99 {np.percentile(ms, 99):.2f}  max {ms.max():.2f}")
+          f"p99 {np.percentile(ms, 99):.2f}  max {ms.max():.2f}  "
+          f"(raw incl. RTT: p50 {np.percentile(raw / group, 50):.2f})")
     print(f"first-vs-last-decile drift {drift * 100:+.1f}%  "
           f"(negative/zero = no degradation)")
     over = int((ms > 10.0).sum())
     print(f"groups over the 10 ms/tick budget: {over}/{len(ms)}; "
           f"aggregate {agg:.0f}x real time "
-          f"({batch * tick / wall / 1e3:.0f}k stream-frames/s)")
+          f"({batch * n_meas / wall / 1e3:.0f}k stream-frames/s)")
     return ms
 
 
